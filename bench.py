@@ -1,0 +1,53 @@
+"""Headline benchmark: Depth Anything V2 @ 518x518 on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's RTX3060 TensorRT fp16 result for DA-V2 ViT-S at
+518x518 — 122.92 FPS / 8.14 ms (reference ``Depth_Anything_V2/README.md:72-74``,
+mirrored in BASELINE.md). Protocol matches the reference TRT loop
+(``onnx2trt.py:194-217``): 10 warmup + 100 timed iterations, each timed
+iteration includes H2D of the uint8 frame, the fused
+preprocess+model+postprocess program, and D2H of the final depth map.
+
+Env knobs: MDET_BENCH_ENCODER (default vits), MDET_BENCH_ITERS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+TRT_BASELINE_FPS = {
+    # reference per-model READMEs (SURVEY.md §6); RTX3060 TRT fp16
+    "vits": 122.92,
+}
+
+
+def main() -> None:
+    encoder = os.environ.get("MDET_BENCH_ENCODER", "vits")
+    iters = int(os.environ.get("MDET_BENCH_ITERS", "100"))
+
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+    pipe = build_pipeline("depth_anything_v2", encoder=encoder)
+    report = pipe.benchmark(
+        (518, 518), BenchmarkConfig(warmup=10, iterations=iters)
+    )
+    report.print()
+
+    baseline = TRT_BASELINE_FPS.get(encoder)
+    result = {
+        "metric": f"depth_anything_v2_{encoder}_518x518_fps",
+        "value": round(report.fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(report.fps / baseline, 3) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Streaming apps: video files and live webcam.
+
+Host-side structure mirrors the reference's latency-oriented serving path
+(``Depth_Pro/onnx2trt_webcam.py:36-44,117-180``): a capture thread feeding a
+bounded ``deque(maxlen=2)`` frame queue (drop-oldest backpressure), a model
+worker thread calling the jitted pipeline, and a ``deque(maxlen=1)`` result
+queue for display — identical thread/queue discipline, with the TPU pipeline
+in place of the TRT engine.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+
+class FrameWorker:
+    """Producer/consumer pair around ``process(frame) -> result``."""
+
+    def __init__(self, process: Callable[[np.ndarray], np.ndarray]):
+        self.process = process
+        self.frame_queue = collections.deque(maxlen=2)
+        self.result_queue = collections.deque(maxlen=1)
+        self.lock = threading.Lock()
+        self.running = False
+        self.model_fps = 0.0
+        self._thread: Optional[threading.Thread] = None
+
+    def submit(self, frame: np.ndarray) -> None:
+        with self.lock:
+            self.frame_queue.append(frame)
+
+    def latest(self):
+        with self.lock:
+            return self.result_queue[-1] if self.result_queue else None
+
+    def _loop(self) -> None:
+        while self.running:
+            frame = None
+            with self.lock:
+                if self.frame_queue:
+                    frame = self.frame_queue.popleft()
+            if frame is None:
+                time.sleep(0.001)
+                continue
+            t0 = time.perf_counter()
+            try:
+                result = self.process(frame)
+            except Exception as e:  # graceful frame-skip, reference :113-115
+                log(f"frame processing failed: {e!r}", tag="WARN")
+                result = frame
+            self.model_fps = 1.0 / max(time.perf_counter() - t0, 1e-9)
+            with self.lock:
+                self.result_queue.append(result)
+
+    def start(self) -> "FrameWorker":
+        self.running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.running = False
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+
+def run_video(
+    pipeline,
+    video_path: str,
+    out_path: str,
+    *,
+    overlay_fps: bool = True,
+    max_frames: Optional[int] = None,
+) -> str:
+    """MP4 -> colorized depth MP4 with FPS overlay (reference
+    ``Depth_Pro/onnx2trt_video.py:41-85``)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"[MDET] cannot open video: {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    n = 0
+    while True:
+        ok, frame_bgr = cap.read()
+        if not ok or (max_frames and n >= max_frames):
+            break
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        t0 = time.perf_counter()
+        out = pipeline(rgb, viz=True)
+        dt = time.perf_counter() - t0
+        viz = cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
+        if viz.shape[:2] != (h, w):
+            viz = cv2.resize(viz, (w, h))
+        if overlay_fps:
+            cv2.putText(
+                viz,
+                f"FPS: {1.0 / max(dt, 1e-9):.1f}",
+                (20, 40),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                1.0,
+                (255, 255, 255),
+                2,
+            )
+        writer.write(viz)
+        n += 1
+    cap.release()
+    writer.release()
+    log(f"wrote {n} frames -> {out_path}")
+    return out_path
+
+
+def run_webcam(pipeline, camera: int | str = 0, *, display: bool = True) -> None:
+    """Live webcam/IP-cam viewer (reference ``Depth_Pro/onnx2trt_webcam.py``;
+    IP camera URL support at :195)."""
+    import cv2
+
+    cap = cv2.VideoCapture(camera)
+    if not cap.isOpened():
+        raise RuntimeError(f"[MDET] cannot open camera {camera!r}")
+
+    def process(frame_bgr):
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        out = pipeline(rgb, viz=True)
+        return cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
+
+    worker = FrameWorker(process).start()
+    frames, t_start = 0, time.perf_counter()
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            worker.submit(frame)
+            result = worker.latest()
+            frames += 1
+            if display and result is not None:
+                view = result.copy()
+                cam_fps = frames / max(time.perf_counter() - t_start, 1e-9)
+                cv2.putText(
+                    view,
+                    f"cam {cam_fps:.1f} fps / model {worker.model_fps:.1f} fps",
+                    (20, 40),
+                    cv2.FONT_HERSHEY_SIMPLEX,
+                    0.8,
+                    (255, 255, 255),
+                    2,
+                )
+                cv2.imshow("mdet", view)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
+    finally:
+        worker.stop()
+        cap.release()
+        if display:
+            cv2.destroyAllWindows()

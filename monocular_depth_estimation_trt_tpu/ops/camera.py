@@ -1,0 +1,121 @@
+"""Camera geometry ops: unprojection, FoV/focal conversions, pose decoding.
+
+Reference equivalents (all host-side numpy there, on-device here):
+
+* pinhole unprojection ``x=(u-W/2)·z/f, y=(v-H/2)·z/f`` for point clouds
+  (reference ``Depth_Anything_V2/onnx2trt_pointcloud.py:70-84``);
+* Depth Pro focal from FoV: ``f_px = 0.5·W / tan(0.5·fov_deg)`` and
+  ``depth = 1 / clamp(canonical_inverse_depth · W / f_px)`` (reference
+  ``Depth_Pro/onnx2trt.py:152-165``);
+* intrinsics rescaling to the original resolution (reference
+  ``Uni_Depth_V2/onnx2trt.py:78-94``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """(u, v) pixel-center coordinate grids of shape (H, W)."""
+    u = jnp.broadcast_to(jnp.arange(w, dtype=dtype)[None, :], (h, w))
+    v = jnp.broadcast_to(jnp.arange(h, dtype=dtype)[:, None], (h, w))
+    return u, v
+
+
+def unproject_depth(
+    depth: jax.Array,
+    focal_px: jax.Array | float,
+    cx: Optional[float] = None,
+    cy: Optional[float] = None,
+) -> jax.Array:
+    """Depth (H, W) -> points (H, W, 3) under a centered pinhole camera
+    (reference ``Depth_Anything_V2/onnx2trt_pointcloud.py:70-78``)."""
+    h, w = depth.shape[-2], depth.shape[-1]
+    u, v = pixel_grid(h, w, depth.dtype)
+    cx = (w / 2.0) if cx is None else cx
+    cy = (h / 2.0) if cy is None else cy
+    z = depth
+    x = (u - cx) * z / focal_px
+    y = (v - cy) * z / focal_px
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def unproject_intrinsics(depth: jax.Array, K: jax.Array) -> jax.Array:
+    """Depth (H, W) + intrinsics (3, 3) -> points (H, W, 3)."""
+    h, w = depth.shape[-2], depth.shape[-1]
+    u, v = pixel_grid(h, w, depth.dtype)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    x = (u - cx) * depth / fx
+    y = (v - cy) * depth / fy
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def fov_to_focal(fov_deg: jax.Array | float, width: int) -> jax.Array:
+    """Depth Pro: horizontal FoV (degrees) -> focal length in pixels."""
+    fov_rad = jnp.deg2rad(fov_deg)
+    return 0.5 * width / jnp.tan(0.5 * fov_rad)
+
+
+def canonical_to_metric_depth(
+    canonical_inverse_depth: jax.Array,
+    fov_deg: jax.Array,
+    width: int,
+    clamp: Tuple[float, float] = (1e-4, 1e4),
+) -> Tuple[jax.Array, jax.Array]:
+    """Depth Pro postprocess (reference ``Depth_Pro/onnx2trt.py:152-165``).
+
+    Returns (metric depth, f_px)."""
+    f_px = fov_to_focal(fov_deg, width)
+    inverse_depth = canonical_inverse_depth * (width / f_px)
+    depth = 1.0 / jnp.clip(inverse_depth, clamp[0], clamp[1])
+    return depth, f_px
+
+
+def rescale_intrinsics(
+    K: jax.Array, from_hw: Tuple[int, int], to_hw: Tuple[int, int]
+) -> jax.Array:
+    """Scale fx/cx by W ratio and fy/cy by H ratio (reference
+    ``Uni_Depth_V2/onnx2trt.py:78-94``)."""
+    sy = to_hw[0] / from_hw[0]
+    sx = to_hw[1] / from_hw[1]
+    scale = jnp.asarray(
+        [[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], dtype=K.dtype
+    )
+    return K * scale
+
+
+def extrinsics_from_quat_trans(quat: jax.Array, trans: jax.Array) -> jax.Array:
+    """(w, x, y, z) quaternion + translation -> (3, 4) world-to-cam matrix
+    (VGGT pose-encoding decode, reference ``VGGT/onnx2trt2.py:240-243``)."""
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    n = w * w + x * x + y * y + z * z
+    s = jnp.where(n > 0, 2.0 / jnp.maximum(n, 1e-12), 0.0)
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    R = jnp.stack(
+        [
+            jnp.stack([1.0 - (yy + zz), xy - wz, xz + wy], axis=-1),
+            jnp.stack([xy + wz, 1.0 - (xx + zz), yz - wx], axis=-1),
+            jnp.stack([xz - wy, yz + wx, 1.0 - (xx + yy)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return jnp.concatenate([R, trans[..., :, None]], axis=-1)
+
+
+def unproject_to_world(
+    depth: jax.Array, K: jax.Array, extrinsic: jax.Array
+) -> jax.Array:
+    """Depth map (H, W) + intrinsics + world-to-cam (3, 4) -> world points
+    (H, W, 3) (VGGT world-point computation, ``VGGT/onnx2trt2.py:240-243``)."""
+    cam_pts = unproject_intrinsics(depth, K)  # (H, W, 3)
+    R = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    # world = R^T (cam - t)
+    return jnp.einsum("ji,hwj->hwi", R, cam_pts - t)

@@ -1,0 +1,5 @@
+from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+)
+
+__all__ = ["flash_attention"]

@@ -1,0 +1,142 @@
+"""Fused attention Pallas kernel for the ViT/DINOv2 encoders.
+
+This replaces what the TensorRT autotuner picks implicitly for the reference's
+exported attention graphs (fused myelin attention kernels): one kernel that
+computes ``softmax(q k^T / sqrt(d)) v`` per (batch*head, q-block) without ever
+materializing the (N, N) score matrix in HBM. At the 518x518 working point the
+encoders run N = 1370 tokens; a naive XLA lowering stores the score tensor
+(heads x N^2, tens of MB per layer) to HBM twice — this kernel keeps scores in
+VMEM.
+
+Design (TPU-first):
+* grid = (batch*heads, N/blk_q); K and V for one head fit comfortably in VMEM
+  at these sequence lengths (N<=2048, d<=128), so each program streams one
+  q-block against the full K/V — no online-softmax rescaling pass is needed,
+  a single max/sum per row suffices (exact, not an approximation).
+* matmuls run on the MXU in the input dtype (bf16) with fp32 accumulation;
+  softmax runs on the VPU in fp32.
+* sequence padding to the 128-lane boundary is handled with an additive mask
+  baked from ``valid_len``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    q = q_ref[0]  # (blk_q, d)
+    k = k_ref[0]  # (N, d)
+    v = v_ref[0]  # (N, d)
+    n = k.shape[0]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (blk_q, N) fp32
+    s = s * scale
+    if valid_len < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    blk_q: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-head attention, shapes ``(B, H, N, d)`` -> ``(B, H, N, d)``.
+
+    Non-causal (ViT encoders are bidirectional). N and d may be arbitrary;
+    padding to TPU tile boundaries is internal. On non-TPU backends the kernel
+    runs in Pallas interpret mode (tests); production path is TPU.
+    """
+    b, h, n, d = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+
+    n_pad = _round_up(n, 128)
+    d_pad = _round_up(d, 128)
+    blk_q = min(blk_q, n_pad)
+    while n_pad % blk_q:
+        blk_q //= 2
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    qp = qp.reshape(b * h, n_pad, d_pad)
+    kp = kp.reshape(b * h, n_pad, d_pad)
+    vp = vp.reshape(b * h, n_pad, d_pad)
+
+    grid = (b * h, n_pad // blk_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, valid_len=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pad * n_pad * d_pad,
+            bytes_accessed=3 * b * h * n_pad * d_pad * q.dtype.itemsize
+            + b * h * n_pad * d_pad * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    out = out.reshape(b, h, n_pad, d_pad)
+    return out[:, :, :n, :d]
+
+
+def attention_reference(q, k, v, *, scale: Optional[float] = None):
+    """Plain XLA attention (oracle for tests; fallback on CPU backend)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)

@@ -1,0 +1,155 @@
+"""Torch checkpoint -> Flax parameter conversion.
+
+The reference loads upstream torch ``state_dict``s / safetensors directly
+(e.g. ``Depth_Anything_V2/infer.py:56``,
+``Distill_Any_Depth/infer.py:60-62``); the TPU framework converts them once
+into our Flax layout and caches the result (``weights/store.py``) — the
+weight-side analogue of the reference's build-once engine cache.
+
+Layout rules (torch -> flax):
+* Linear:           weight (out, in)            -> kernel (in, out) [transpose]
+* Conv2d:           weight (out, in, kh, kw)    -> kernel (kh, kw, in, out)
+* ConvTranspose2d (stride==kernel, our PixelShuffleUpsample):
+                    weight (in, out, kh, kw)    -> kernel (kh, kw, in, out)
+* LayerNorm:        weight/bias                 -> scale/bias
+* LayerScale:       gamma                       -> gamma
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    import torch
+
+    if isinstance(x, torch.Tensor):
+        return x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def linear(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv2d(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def conv_transpose_shuffle(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    # torch ConvTranspose2d weight: (in, out, kh, kw) -> (kh, kw, in, out)
+    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def layernorm(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _join(prefix: str, name: str) -> str:
+    return name if not prefix else f"{prefix}.{name}"
+
+
+def convert_dinovit(sd: Mapping, prefix: str = "pretrained", depth: int = 12) -> Dict:
+    """DINOv2 encoder state dict (DA-V2 ``pretrained.*`` namespace) -> our
+    ``DinoViT`` params."""
+    p: Dict[str, Any] = {}
+    p["cls_token"] = _t(sd[_join(prefix, "cls_token")])
+    p["pos_embed"] = _t(sd[_join(prefix, "pos_embed")])
+    if _join(prefix, "register_tokens") in sd:
+        p["register_tokens"] = _t(sd[_join(prefix, "register_tokens")])
+    p["patch_embed"] = conv2d(sd, _join(prefix, "patch_embed.proj"))
+    p["norm"] = layernorm(sd, _join(prefix, "norm"))
+    for i in range(depth):
+        b = _join(prefix, f"blocks.{i}")
+        blk: Dict[str, Any] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "ls1": {"gamma": _t(sd[f"{b}.ls1.gamma"])},
+            "ls2": {"gamma": _t(sd[f"{b}.ls2.gamma"])},
+            "attn": {
+                "qkv": linear(sd, f"{b}.attn.qkv"),
+                "proj": linear(sd, f"{b}.attn.proj"),
+            },
+        }
+        if f"{b}.mlp.fc1.weight" in sd:
+            blk["mlp"] = {
+                "fc1": linear(sd, f"{b}.mlp.fc1"),
+                "fc2": linear(sd, f"{b}.mlp.fc2"),
+            }
+        else:  # SwiGLUFFNFused (vitg)
+            blk["mlp"] = {
+                "w12": linear(sd, f"{b}.mlp.w12"),
+                "w3": linear(sd, f"{b}.mlp.w3"),
+            }
+        p[f"blocks_{i}"] = blk
+    return p
+
+
+def convert_dpt_head(sd: Mapping, prefix: str = "depth_head") -> Dict:
+    """DA-V2 DPTHead state dict -> our ``DPTHead`` params."""
+    p: Dict[str, Any] = {}
+    for i in range(4):
+        p[f"project_{i}"] = conv2d(sd, f"{prefix}.projects.{i}")
+    p["resize_0"] = conv_transpose_shuffle(sd, f"{prefix}.resize_layers.0")
+    p["resize_1"] = conv_transpose_shuffle(sd, f"{prefix}.resize_layers.1")
+    p["resize_3"] = conv2d(sd, f"{prefix}.resize_layers.3")
+    for i in range(1, 5):
+        p[f"layer{i}_rn"] = conv2d(sd, f"{prefix}.scratch.layer{i}_rn")
+    for i in range(1, 5):
+        rf = f"{prefix}.scratch.refinenet{i}"
+        p[f"refinenet{i}"] = {
+            "resConfUnit1": {
+                "conv1": conv2d(sd, f"{rf}.resConfUnit1.conv1"),
+                "conv2": conv2d(sd, f"{rf}.resConfUnit1.conv2"),
+            },
+            "resConfUnit2": {
+                "conv1": conv2d(sd, f"{rf}.resConfUnit2.conv1"),
+                "conv2": conv2d(sd, f"{rf}.resConfUnit2.conv2"),
+            },
+            "out_conv": conv2d(sd, f"{rf}.out_conv"),
+        }
+    p["output_conv1"] = conv2d(sd, f"{prefix}.scratch.output_conv1")
+    p["output_conv2_0"] = conv2d(sd, f"{prefix}.scratch.output_conv2.0")
+    p["output_conv2_2"] = conv2d(sd, f"{prefix}.scratch.output_conv2.2")
+    return p
+
+
+def convert_depth_anything_v2(state_dict: Mapping, encoder: str = "vits") -> Dict:
+    """Full DA-V2 checkpoint (``depth_anything_v2_{enc}.pth``) -> Flax params
+    for :class:`models.depth_anything_v2.DepthAnythingV2`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    depth = VIT_CONFIGS[encoder].depth
+    return {
+        "pretrained": convert_dinovit(state_dict, "pretrained", depth),
+        "depth_head": convert_dpt_head(state_dict, "depth_head"),
+    }
+
+
+def load_torch_state_dict(path: str) -> Mapping:
+    """Load a ``.pth``/``.pt``/``.safetensors`` checkpoint to numpy-friendly
+    tensors (CPU)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
+        sd = sd["model"]
+    return sd
