@@ -192,6 +192,12 @@ class DinoViT(nn.Module):
     out_indices: Sequence[int] = ()
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # apply the final LayerNorm to intermediate taps (DINOv2
+    # get_intermediate_layers(norm=True)); Depth Pro hooks raw activations
+    norm_out: bool = True
+    # indices (normalized, i.e. non-negative) whose taps skip the final norm
+    # even when norm_out=True (Depth Pro's backbone_highres_hooks)
+    raw_indices: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -245,7 +251,8 @@ class DinoViT(nn.Module):
         for i in range(c.depth):
             x = Block(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(x)
             if i in want:
-                y = final_norm(x)
+                use_norm = self.norm_out and i not in self.raw_indices
+                y = final_norm(x) if use_norm else x
                 saved[i] = (y[:, 1 + c.num_register_tokens :], y[:, 0])
         # duplicates and arbitrary order allowed (matches DINOv2
         # get_intermediate_layers semantics)

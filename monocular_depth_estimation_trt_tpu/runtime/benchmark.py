@@ -27,6 +27,8 @@ class BenchmarkReport:
     iterations: int
     total_seconds: float
     times: List[float]
+    h2d_ms: Optional[float] = None
+    d2h_ms: Optional[float] = None
 
     @property
     def avg_seconds(self) -> float:
@@ -58,6 +60,8 @@ class BenchmarkReport:
             "avg_ms": self.avg_ms,
             "p50_ms": self.percentile_ms(50),
             "p99_ms": self.percentile_ms(99),
+            "h2d_ms": self.h2d_ms,
+            "d2h_ms": self.d2h_ms,
         }
 
 
@@ -123,12 +127,40 @@ def benchmark(
 
     times: List[float] = []
     if mode == "pipelined":
-        begin = time.perf_counter()
-        out = None
-        for _ in range(config.iterations):
-            out = dispatch()
-        fetch(out)
-        total = time.perf_counter() - begin
+        if host_input is not None:
+            # Overlap H2D with compute (the reference's cudaMemcpyAsync
+            # overlap, common_runtime.py:164-176): a staging thread keeps a
+            # couple of frames in flight ahead of the compute stream.
+            import queue as _queue
+            import threading
+
+            q: "_queue.Queue" = _queue.Queue(maxsize=3)
+            stop = object()
+
+            def stager():
+                for _ in range(config.iterations):
+                    q.put(jax.device_put(host_input))
+                q.put(stop)
+
+            begin = time.perf_counter()
+            t = threading.Thread(target=stager, daemon=True)
+            t.start()
+            out = None
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                out = fn(item, *args)
+            fetch(out)
+            total = time.perf_counter() - begin
+            t.join()
+        else:
+            begin = time.perf_counter()
+            out = None
+            for _ in range(config.iterations):
+                out = dispatch()
+            fetch(out)
+            total = time.perf_counter() - begin
         times = [total / config.iterations] * config.iterations
     else:
         total = 0.0
