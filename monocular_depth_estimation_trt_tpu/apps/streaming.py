@@ -122,6 +122,75 @@ def run_video(
     return out_path
 
 
+def run_flow_frames(
+    flow_pipeline,
+    frames_dir: str,
+    out_path: str,
+    *,
+    size_wh: tuple = (512, 288),
+    max_pairs: Optional[int] = None,
+) -> str:
+    """Consecutive-frame optical flow over an image directory -> color-wheel
+    MP4 (reference ``RAFT/onnx2trt.py:150-196``)."""
+    import os
+
+    import cv2
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    paths = sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir)
+        if os.path.splitext(f)[1].lower() in exts
+    )
+    if len(paths) < 2:
+        raise FileNotFoundError(f"[MDET] need >=2 frames in {frames_dir}")
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), 15.0, size_wh
+    )
+    prev = cv2.cvtColor(cv2.imread(paths[0]), cv2.COLOR_BGR2RGB)
+    n = 0
+    for p in paths[1:]:
+        if max_pairs and n >= max_pairs:
+            break
+        cur = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        out = flow_pipeline(prev, cur, viz=True)
+        viz = cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
+        if (viz.shape[1], viz.shape[0]) != size_wh:
+            viz = cv2.resize(viz, size_wh)
+        writer.write(viz)
+        prev = cur
+        n += 1
+    writer.release()
+    log(f"wrote {n} flow frames -> {out_path}")
+    return out_path
+
+
+def extract_frames_from_video(
+    video_path: str, out_dir: str, *, every: int = 1, max_frames: Optional[int] = None
+) -> int:
+    """MP4 -> numbered PNG frames (reference ``gen_video2imgs.py:4-35``)."""
+    import os
+
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"[MDET] cannot open video: {video_path}")
+    n = saved = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok or (max_frames and saved >= max_frames):
+            break
+        if n % every == 0:
+            cv2.imwrite(os.path.join(out_dir, f"frame_{saved:05d}.png"), frame)
+            saved += 1
+        n += 1
+    cap.release()
+    log(f"extracted {saved} frames -> {out_dir}")
+    return saved
+
+
 def run_webcam(pipeline, camera: int | str = 0, *, display: bool = True) -> None:
     """Live webcam/IP-cam viewer (reference ``Depth_Pro/onnx2trt_webcam.py``;
     IP camera URL support at :195)."""

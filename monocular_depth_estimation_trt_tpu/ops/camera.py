@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pixel_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
@@ -87,6 +88,101 @@ def rescale_intrinsics(
         [[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], dtype=K.dtype
     )
     return K * scale
+
+
+def normalized_view_plane_uv(h: int, w: int, dtype=jnp.float32) -> jax.Array:
+    """(H, W, 2) view-plane coordinates spanning [-w/diag, w/diag] x
+    [-h/diag, h/diag] at pixel centers (MoGe convention)."""
+    diag = float(np.sqrt(h * h + w * w))
+    span_x = w / diag
+    span_y = h / diag
+    u = (jnp.arange(w, dtype=dtype) + 0.5) / w * 2.0 - 1.0
+    v = (jnp.arange(h, dtype=dtype) + 0.5) / h * 2.0 - 1.0
+    uu = jnp.broadcast_to(u[None, :] * span_x, (h, w))
+    vv = jnp.broadcast_to(v[:, None] * span_y, (h, w))
+    return jnp.stack([uu, vv], axis=-1)
+
+
+def recover_focal_shift(
+    points: jax.Array,
+    mask: Optional[jax.Array] = None,
+    downsample: int = 64,
+    num_shift_candidates: int = 128,
+    gn_steps: int = 4,
+):
+    """Recover (focal, z-shift) from an affine-invariant point map.
+
+    The MoGe-2 postprocess (reference ``MoGe_2/onnx2trt.py:179``, upstream
+    ``utils3d recover_focal_shift``): find scalar ``shift`` and ``focal``
+    minimizing the reprojection error between the predicted point map and the
+    normalized view-plane grid. Implemented jit-friendly as a coarse
+    log-space shift search with closed-form focal per candidate, refined by a
+    few Gauss-Newton steps on ``shift``.
+
+    points: (B, H, W, 3); mask: optional (B, H, W) bool.
+    Returns (focal (B,), shift (B,)).
+    """
+    b, h, w, _ = points.shape
+    # downsample for speed (matches upstream's low-res solve)
+    sh = max(h // downsample, 1)
+    sw = max(w // downsample, 1)
+    pts = points[:, ::sh, ::sw, :]
+    uv = normalized_view_plane_uv(pts.shape[1], pts.shape[2], points.dtype)
+    if mask is not None:
+        m = mask[:, ::sh, ::sw].astype(points.dtype)
+    else:
+        m = jnp.ones(pts.shape[:3], points.dtype)
+
+    px = pts[..., 0].reshape(b, -1)
+    py = pts[..., 1].reshape(b, -1)
+    pz = pts[..., 2].reshape(b, -1)
+    u = uv[..., 0].reshape(-1)[None]
+    v = uv[..., 1].reshape(-1)[None]
+    mm = m.reshape(b, -1)
+
+    def loss_and_focal(shift):
+        # shift: (B, 1)
+        z = jnp.maximum(pz + shift, 1e-4)
+        a = px / z
+        c = py / z
+        num = jnp.sum(mm * (u * a + v * c), axis=-1)
+        den = jnp.sum(mm * (a * a + c * c), axis=-1) + 1e-12
+        f = num / den  # optimal focal given shift (closed form)
+        r = mm * ((f[:, None] * a - u) ** 2 + (f[:, None] * c - v) ** 2)
+        return jnp.sum(r, axis=-1), f
+
+    # coarse search over shift candidates (log-spaced around z statistics)
+    z_med = jnp.median(pz, axis=-1, keepdims=True)
+    spread = jnp.maximum(
+        jnp.max(pz, axis=-1, keepdims=True) - jnp.min(pz, axis=-1, keepdims=True),
+        1e-2,
+    )
+    t = jnp.linspace(-1.0, 4.0, num_shift_candidates)[None]  # (1, K)
+    candidates = -z_med + spread * (10.0**t) * 0.1  # ensure z+shift > 0 tail
+    losses, focals = jax.vmap(loss_and_focal, in_axes=1, out_axes=1)(
+        candidates[..., None]
+    )  # (B, K)
+    best = jnp.argmin(losses, axis=-1)
+    shift = jnp.take_along_axis(candidates, best[:, None], axis=1)  # (B, 1)
+
+    # Gauss-Newton refinement on shift (finite-difference derivative)
+    def gn(shift, _):
+        eps = 1e-3
+        l0, _ = loss_and_focal(shift)
+        l1, _ = loss_and_focal(shift + eps)
+        l_1, _ = loss_and_focal(shift - eps)
+        g = (l1 - l_1) / (2 * eps)
+        hdiag = (l1 - 2 * l0 + l_1) / (eps * eps)
+        step = jnp.where(jnp.abs(hdiag) > 1e-8, g / jnp.maximum(hdiag, 1e-8), 0.0)
+        new = shift - jnp.clip(step, -1.0, 1.0)[:, None]
+        # keep z positive
+        new = jnp.maximum(new, -jnp.min(pz, axis=-1, keepdims=True) + 1e-3)
+        lnew, _ = loss_and_focal(new)
+        return jnp.where((lnew < l0)[:, None], new, shift), None
+
+    shift, _ = jax.lax.scan(gn, shift, None, length=gn_steps)
+    _, focal = loss_and_focal(shift)
+    return focal, shift[:, 0]
 
 
 def extrinsics_from_quat_trans(quat: jax.Array, trans: jax.Array) -> jax.Array:

@@ -203,6 +203,63 @@ class DepthPipeline:
         return report
 
 
+class FlowPipeline:
+    """Two-frame optical-flow pipeline (RAFT/NeuFlow/MeFlow/MEMFOF template:
+    frame pair in, flow field + color-wheel viz out — reference
+    ``RAFT/onnx2trt.py:150-196``)."""
+
+    def __init__(self, spec: ModelSpec, forward: Callable, params: Any):
+        self.spec = spec
+        self.params = params
+        self._forward = forward
+        self._engines: Dict[Tuple, Engine] = {}
+
+    def engine_for(self, in_hw: Tuple[int, int], with_viz: bool = False) -> Engine:
+        key = (in_hw, with_viz)
+        if key in self._engines:
+            return self._engines[key]
+
+        def run(params, img1, img2):
+            out = self._forward(params, img1, img2)
+            if with_viz and "flow" in out:
+                from monocular_depth_estimation_trt_tpu.ops.flow_viz import (
+                    flow_to_color,
+                )
+
+                out["viz"] = flow_to_color(out["flow"])
+            return out
+
+        example = jax.ShapeDtypeStruct((in_hw[0], in_hw[1], 3), jnp.uint8)
+        name = f"{self.spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}" + (
+            "_viz" if with_viz else ""
+        )
+        eng = Engine(run, (self.params, example, example), name=name)
+        self._engines[key] = eng
+        return eng
+
+    def __call__(self, frame1: np.ndarray, frame2: np.ndarray, *, viz: bool = False):
+        h, w = frame1.shape[:2]
+        eng = self.engine_for((h, w), viz)
+        out = eng(self.params, jnp.asarray(frame1), jnp.asarray(frame2))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def benchmark(
+        self, in_hw: Tuple[int, int], config: Optional[BenchmarkConfig] = None
+    ) -> BenchmarkReport:
+        eng = self.engine_for(in_hw, False)
+        eng.compile()
+        rng = np.random.default_rng(0)
+        f1 = rng.integers(0, 255, size=(*in_hw, 3), dtype=np.uint8)
+        f2 = rng.integers(0, 255, size=(*in_hw, 3), dtype=np.uint8)
+        d1, d2 = jax.device_put(f1), jax.device_put(f2)
+        return benchmark(
+            lambda a, b: eng(self.params, a, b),
+            (d1, d2),
+            config=config,
+            name=self.spec.artifact_name(),
+        )
+
+
 def depth_forward_factory(
     model_apply: Callable,
     preprocess: Callable,

@@ -256,3 +256,291 @@ def depth_pro(
     if params is None:
         params = get_or_convert_params(spec.artifact_name(), model, example)
     return DepthPipeline(spec, forward, params, viz="metric")
+
+
+# ---------------------------------------------------------------------------
+# Camera-aware 3D family (reference Uni_Depth_V2/, UniK3D/, Metric3D_V2/,
+# MoGe_2/, Metric_Anything/)
+# ---------------------------------------------------------------------------
+
+
+def _build_geometric(
+    model_name: str,
+    mode: str,
+    encoder: str,
+    input_size: int,
+    precision: str,
+    attn_impl: str,
+    params: Any,
+) -> DepthPipeline:
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.geometric import GeometricDepthModel
+    from monocular_depth_estimation_trt_tpu.ops.camera import rescale_intrinsics
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model=model_name,
+        encoder=encoder,
+        input_hw=(input_size, input_size),
+        precision=precision,
+        metric=True,
+    )
+    model = GeometricDepthModel(
+        encoder=encoder, mode=mode, dtype=compute_dtype(precision),
+        attn_impl=attn_impl,
+    )
+
+    def forward(p, img_u8, out_hw):
+        # ImageNet normalize (reference Uni_Depth_V2/onnx2trt.py:116)
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="linear")
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+        out = model.apply({"params": p}, x)
+        # postprocess (reference Uni_Depth_V2/onnx2trt.py:170-183): bilinear
+        # align_corners=False resize of points; depth = z clamped; intrinsics
+        # rescaled to the original resolution (:78-94)
+        pts = resize(out["pts_3d"], out_hw, method="linear", align_corners=False)[0]
+        conf = resize(
+            out["confidence"][..., None], out_hw, method="linear",
+            align_corners=False,
+        )[0, ..., 0]
+        depth = jnp.clip(pts[..., 2], 1e-3, 1e3)
+        K = rescale_intrinsics(out["intrinsics"][0], spec.input_hw, out_hw)
+        return {
+            "depth": depth,
+            "pts_3d": pts,
+            "confidence": conf,
+            "intrinsics": K,
+        }
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(spec.artifact_name(), model, example)
+    return DepthPipeline(spec, forward, params, viz="metric")
+
+
+@register("unidepth_v2")
+def unidepth_v2(encoder: str = "vitb", input_size: int = 518,
+                precision: str = "bf16", attn_impl: str = "auto",
+                params: Any = None, **kw) -> DepthPipeline:
+    """UniDepth V2: metric points + confidence + predicted intrinsics
+    (reference ``Uni_Depth_V2/``)."""
+    return _build_geometric("unidepth_v2", "unidepth", encoder, input_size,
+                            precision, attn_impl, params)
+
+
+@register("unik3d")
+def unik3d(encoder: str = "vitb", input_size: int = 518,
+           precision: str = "bf16", attn_impl: str = "auto",
+           params: Any = None, **kw) -> DepthPipeline:
+    """UniK3D: universal-camera 3D — unit rays x distance
+    (reference ``UniK3D/``)."""
+    return _build_geometric("unik3d", "unik3d", encoder, input_size,
+                            precision, attn_impl, params)
+
+
+@register("metric3d_v2")
+def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
+                attn_impl: str = "auto", params: Any = None,
+                focal: Optional[float] = None, **kw) -> DepthPipeline:
+    """Metric3D V2: canonical-camera metric depth at 616x1064 with keep-ratio
+    mean-pad preprocessing and de-canonical focal scaling
+    (reference ``Metric3D_V2/infer.py:73-125``, ``onnx2trt.py:176-190``)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
+        DepthAnythingV2,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import crop_pad
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        preprocess_keep_ratio_pad,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize_hw
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    canvas = (616, 1064)
+    spec = ModelSpec(
+        model="metric3d_v2", encoder=encoder, input_hw=canvas,
+        precision=precision, metric=True,
+    )
+    # Metric3D v2's ViT-L + decoder predicts canonical metric depth; served
+    # here on our shared ViT+DPT graph with a metric (sigmoid*300) head.
+    model = DepthAnythingV2(
+        encoder=encoder, metric=True, max_depth=300.0,
+        dtype=compute_dtype(precision), attn_impl=attn_impl,
+    )
+
+    def forward(p, img_u8, out_hw):
+        x, pad, scale = preprocess_keep_ratio_pad(img_u8, canvas)
+        depth = model.apply({"params": p}, x)  # (1, 616, 1064)
+        depth = crop_pad(depth, pad)
+        depth = resize_hw(depth, out_hw, "linear", align_corners=False)[0]
+        if focal is not None:
+            # de-canonical transform (reference Metric3D_V2/infer.py:107-125)
+            depth = depth * (focal * scale / 1000.0)
+        depth = jnp.clip(depth, 0.0, 300.0)
+        return {"depth": depth}
+
+    example = jnp.zeros((1, *canvas, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(spec.artifact_name(), model, example)
+    return DepthPipeline(spec, forward, params, viz="metric")
+
+
+def _build_moge(
+    model_name: str,
+    encoder: str,
+    input_hw: tuple,
+    num_tokens: int,
+    precision: str,
+    attn_impl: str,
+    params: Any,
+    predict_normal: bool = True,
+) -> DepthPipeline:
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.moge2 import MoGe2
+    from monocular_depth_estimation_trt_tpu.ops.camera import (
+        normalized_view_plane_uv,
+        recover_focal_shift,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model=model_name,
+        encoder=encoder,
+        input_hw=tuple(input_hw),
+        precision=precision,
+        variant="normal" if predict_normal else "",
+        metric=True,
+    )
+    model = MoGe2(
+        encoder=encoder, num_tokens=num_tokens, predict_normal=predict_normal,
+        dtype=compute_dtype(precision), attn_impl=attn_impl,
+    )
+
+    def forward(p, img_u8, out_hw):
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="linear")
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+        out = model.apply({"params": p}, x)
+        points = out["points"]  # (1, h, w, 3) affine-invariant
+        mask = out["mask"] > 0.5
+        # reference MoGe_2/onnx2trt.py:169-206 on device: recover focal/shift,
+        # shift z, re-unproject via uv grid, metric scale, inf-mask
+        focal, shift = recover_focal_shift(points, mask)
+        z = points[..., 2] + shift[:, None, None]
+        mask = mask & (z > 0)
+        uv = normalized_view_plane_uv(points.shape[1], points.shape[2])
+        pts = jnp.concatenate(
+            [uv[None] * z[..., None] / focal[:, None, None, None], z[..., None]],
+            axis=-1,
+        )
+        scale = out["metric_scale"]
+        pts = pts * scale[:, None, None, None]
+        depth = z * scale[:, None, None]
+        inf = jnp.float32(jnp.inf)
+        depth = jnp.where(mask, depth, inf)[0]
+        pts = jnp.where(mask[..., None], pts, inf)[0]
+        result = {
+            "depth": depth,
+            "points": pts,
+            "mask": mask[0],
+            "metric_scale": scale[0],
+            "focal": focal[0],
+        }
+        if "normal" in out:
+            result["normal"] = jnp.where(
+                mask[..., None], out["normal"], 0.0
+            )[0]
+        return result
+
+    example = jnp.zeros((1, *input_hw, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(spec.artifact_name(), model, example)
+    return DepthPipeline(spec, forward, params, viz="none")
+
+
+@register("moge2")
+def moge2(encoder: str = "vits", input_hw: tuple = (291, 518),
+          num_tokens: int = 1800, precision: str = "bf16",
+          attn_impl: str = "auto", params: Any = None, **kw) -> DepthPipeline:
+    """MoGe-2: affine-invariant point map + normal + mask + metric scale
+    (reference ``MoGe_2/``)."""
+    return _build_moge("moge2", encoder, input_hw, num_tokens, precision,
+                       attn_impl, params, predict_normal=True)
+
+
+@register("metric_anything")
+def metric_anything(encoder: str = "vitl", input_hw: tuple = (518, 518),
+                    num_tokens: int = 3600, precision: str = "bf16",
+                    attn_impl: str = "auto", params: Any = None,
+                    **kw) -> DepthPipeline:
+    """Metric Anything student_pointmap — MoGe-2 architecture student
+    (reference ``Metric_Anything/infer.py:12-14``; num_tokens baked at 3600,
+    ``onnx_export.py:23``); no normal head (outputs points/mask/metric_scale,
+    ``onnx_export.py:73-74``)."""
+    return _build_moge("metric_anything", encoder, input_hw, num_tokens,
+                       precision, attn_impl, params, predict_normal=False)
+
+
+# ---------------------------------------------------------------------------
+# Optical flow family (reference RAFT/, NeuFlow/, MeFlow/, MEMFOF/)
+# ---------------------------------------------------------------------------
+
+
+@register("raft")
+def raft(
+    iters: int = 20,
+    input_hw: tuple = (288, 512),
+    precision: str = "fp32",
+    params: Any = None,
+    **kw,
+) -> "FlowPipeline":
+    """RAFT optical flow (reference ``RAFT/``): frame pair at 288x512 ->
+    flow_low (1/8) + flow (full res)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flow.raft import RAFT
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model="raft",
+        input_hw=tuple(input_hw),
+        precision=precision,
+        extra=(("iters", iters),),
+    )
+    # RAFT runs fp32 even in the reference's fp16 engines for the corr volume;
+    # compute dtype applies to convs.
+    model = RAFT(iters=iters, dtype=compute_dtype(precision))
+
+    def forward(p, img1_u8, img2_u8, in_hw=tuple(input_hw)):
+        # host resize in reference (onnx2trt.py:100-111) -> device resize here
+        x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        x2 = resize(img2_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        flow_low, flow_up = model.apply({"params": p}, x1, x2)
+        return {"flow_low": flow_low[0], "flow": flow_up[0]}
+
+    example = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, (example, example), seed=0
+        )
+    return FlowPipeline(spec, forward, params)

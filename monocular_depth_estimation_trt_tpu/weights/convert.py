@@ -138,6 +138,75 @@ def convert_depth_anything_v2(state_dict: Mapping, encoder: str = "vits") -> Dic
     }
 
 
+def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, np.ndarray]:
+    """BatchNorm2d running stats -> inference affine (scale, bias)."""
+    gamma = _t(sd[f"{prefix}.weight"])
+    beta = _t(sd[f"{prefix}.bias"])
+    mean = _t(sd[f"{prefix}.running_mean"])
+    var = _t(sd[f"{prefix}.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {"scale": scale, "bias": beta - mean * scale}
+
+
+def _convert_raft_encoder(sd: Mapping, prefix: str, norm: str) -> Dict:
+    p: Dict[str, Any] = {"conv1": conv2d(sd, f"{prefix}.conv1"),
+                         "conv2": conv2d(sd, f"{prefix}.conv2")}
+
+    def maybe_norm(dst: Dict, key_dst: str, key_src: str):
+        if norm == "batch":
+            dst[key_dst] = folded_batchnorm(sd, key_src)
+        # instance norm has no params
+
+    maybe_norm(p, "norm1", f"{prefix}.norm1")
+    for li in (1, 2, 3):
+        for bi in (0, 1):
+            b = f"{prefix}.layer{li}.{bi}"
+            blk: Dict[str, Any] = {
+                "conv1": conv2d(sd, f"{b}.conv1"),
+                "conv2": conv2d(sd, f"{b}.conv2"),
+            }
+            maybe_norm(blk, "norm1", f"{b}.norm1")
+            maybe_norm(blk, "norm2", f"{b}.norm2")
+            if f"{b}.downsample.0.weight" in sd:
+                blk["downsample"] = conv2d(sd, f"{b}.downsample.0")
+                maybe_norm(blk, "norm3", f"{b}.downsample.1")
+            p[f"layer{li}_{bi}"] = blk
+    return p
+
+
+def convert_raft(state_dict: Mapping) -> Dict:
+    """RAFT checkpoint (raft-things.pth etc., possibly 'module.'-prefixed from
+    DataParallel — reference ``RAFT/infer.py:62-65``) -> our ``RAFT`` params."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in state_dict.items()}
+    ub = "update_block"
+    step = {
+        "block": {
+            "encoder": {
+                "convc1": conv2d(sd, f"{ub}.encoder.convc1"),
+                "convc2": conv2d(sd, f"{ub}.encoder.convc2"),
+                "convf1": conv2d(sd, f"{ub}.encoder.convf1"),
+                "convf2": conv2d(sd, f"{ub}.encoder.convf2"),
+                "conv": conv2d(sd, f"{ub}.encoder.conv"),
+            },
+            "gru": {
+                f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
+                for g in ("z", "r", "q")
+                for i in (1, 2)
+            },
+            "flow_head_conv1": conv2d(sd, f"{ub}.flow_head.conv1"),
+            "flow_head_conv2": conv2d(sd, f"{ub}.flow_head.conv2"),
+            "mask_conv0": conv2d(sd, f"{ub}.mask.0"),
+            "mask_conv2": conv2d(sd, f"{ub}.mask.2"),
+        }
+    }
+    return {
+        "fnet": _convert_raft_encoder(sd, "fnet", "instance"),
+        "cnet": _convert_raft_encoder(sd, "cnet", "batch"),
+        "update_block": step,
+    }
+
+
 def load_torch_state_dict(path: str) -> Mapping:
     """Load a ``.pth``/``.pt``/``.safetensors`` checkpoint to numpy-friendly
     tensors (CPU)."""

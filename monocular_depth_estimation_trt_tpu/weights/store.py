@@ -56,13 +56,18 @@ def load_params(name: str, like: Optional[Any] = None) -> Optional[Any]:
     return ckptr.restore(os.path.abspath(path))
 
 
+def _as_args(example_input) -> tuple:
+    return example_input if isinstance(example_input, tuple) else (example_input,)
+
+
 def init_random_params(model, example_input, seed: int = 0) -> Any:
     """Deterministic random init with the module's real structure/shapes.
 
+    ``example_input`` may be a single array or a tuple of positional args.
     Jitted: eager init dispatches thousands of tiny ops, which is pathological
     over a remote device link (measured 138s -> 17s on the axon tunnel)."""
     rng = jax.random.PRNGKey(seed)
-    variables = jax.jit(model.init)(rng, example_input)
+    variables = jax.jit(model.init)(rng, *_as_args(example_input))
     return variables["params"]
 
 
@@ -81,7 +86,9 @@ def get_or_convert_params(
     2. else convert ``torch_ckpt`` with ``converter`` and cache;
     3. else deterministic random init (benchmark-only mode; logged loudly).
     """
-    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), example_input)
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), *_as_args(example_input)
+    )
     like = variables["params"]
 
     cached = None
