@@ -1,0 +1,99 @@
+"""Full-zoo benchmark: every model family vs its reference TRT baseline.
+
+Writes ``BENCH_ALL.json`` and prints a table. ``bench.py`` remains the
+driver's single-line headline benchmark; this is the complete evidence run
+(reference numbers from the per-model READMEs, mirrored in SURVEY.md §6 /
+BASELINE.md — RTX3060 laptop TRT fp16).
+
+Usage: python bench_all.py [--quick] [--models m1,m2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# (model, build kwargs, input hw, reference TRT fps)
+SUITE = [
+    ("depth_anything_v2", {"encoder": "vits"}, (518, 518), 122.92),
+    ("distill_any_depth", {"encoder": "vits"}, (518, 518), 121.36),
+    ("depth_anything_ac", {"encoder": "vits"}, (518, 518), 133.14),
+    ("depth_anything_v2", {"encoder": "vitl"}, (518, 518), None),  # north star
+    ("depth_anything_v3", {}, (518, 518), 20.12),
+    ("unidepth_v2", {"encoder": "vitb"}, (518, 518), 36.86),
+    ("unik3d", {"encoder": "vitb"}, (518, 518), 30.23),
+    ("metric3d_v2", {"encoder": "vitl"}, (616, 1064), 6.09),
+    ("moge2", {"encoder": "vits"}, (518, 518), 21.27),
+    ("metric_anything", {"encoder": "vitl"}, (518, 518), 4.91),
+    ("depth_pro", {}, (1536, 1536), 1.41),
+    ("vggt", {"depth_only": True}, (518, 518), 7.15),
+    ("streamvggt", {}, (518, 518), 5.77),
+    ("raft", {}, (288, 512), 21.96),
+    ("neuflow", {}, (288, 512), 25.88),
+    ("meflow", {}, (288, 512), 18.52),
+    ("memfof", {}, (288, 512), 14.11),
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="20 iterations")
+    ap.add_argument("--models", default="", help="comma-separated subset")
+    ap.add_argument("--out", default="BENCH_ALL.json")
+    args = ap.parse_args()
+
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.runtime.cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    subset = {s for s in args.models.split(",") if s}
+    cfg = BenchmarkConfig(warmup=3 if args.quick else 10,
+                          iterations=20 if args.quick else 100)
+
+    results = []
+    for name, kw, in_hw, baseline in SUITE:
+        tag = name + ("_" + kw.get("encoder", "") if kw.get("encoder") else "")
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            if name == "memfof":
+                rep = pipe.benchmark(config=cfg)
+            else:
+                rep = pipe.benchmark(in_hw, cfg)
+            row = {
+                "model": tag,
+                "input_hw": list(in_hw),
+                "fps": round(rep.fps, 2),
+                "avg_ms": round(rep.avg_ms, 2),
+                "baseline_trt_fps": baseline,
+                "speedup_vs_trt": round(rep.fps / baseline, 2) if baseline else None,
+                "build_s": round(time.time() - t0 - rep.total_seconds, 1),
+            }
+        except Exception as e:  # keep the suite running
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    with open(args.out, "w") as f:
+        json.dump(
+            {"timestamp": time.time(), "results": results}, f, indent=2
+        )
+    print(f"\nwrote {args.out}")
+    ok = [r for r in results if r.get("speedup_vs_trt")]
+    if ok:
+        import statistics
+
+        geo = np.exp(np.mean([np.log(r["speedup_vs_trt"]) for r in ok]))
+        print(f"geomean speedup vs reference TRT over {len(ok)} models: {geo:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

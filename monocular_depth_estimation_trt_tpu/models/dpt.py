@@ -184,4 +184,6 @@ class DPTHead(nn.Module):
             out = nn.relu(out)
         elif self.final_act == "sigmoid":
             out = nn.sigmoid(out)
+        elif self.final_act == "none":
+            pass
         return out[..., 0].astype(jnp.float32)

@@ -1,0 +1,338 @@
+"""VGGT: multi-view geometry transformer (aggregator + depth/camera heads).
+
+Reference serving contract (``VGGT/onnx_export2.py``, ``onnx2trt2.py``):
+input (B, S, 518, 518, 3) normalized views; a ~1B-param aggregator produces
+``aggregated_tokens_list`` — per-layer tokens (L_sel, B, S, 1374, 2048) — that
+feed a DPT depth head (depth + confidence per view) and a camera head
+(``pose_enc`` = [tx ty tz, qw qx qy qz, fov_h fov_w] per view). The reference
+chains three TRT engines with device-to-device copies
+(``onnx2trt2.py:155-208``); here the stages are jitted functions sharing
+device-resident arrays (``runtime/pipeline.py``), or one fused program.
+
+Architecture (VGGT, Wang et al. CVPR 2025):
+* patch tokens from a DINOv2 ViT-L/14 feature extractor (1024-d);
+* per view: 1369 patch tokens + 1 camera token + 4 register tokens = 1374;
+* 24 alternating-attention blocks: each runs *frame* self-attention (tokens
+  of one view attend within the view: batch B*S) then *global* attention
+  (all views jointly: batch B, sequence S*1374), both with 2D RoPE on patch
+  tokens; outputs of the two sub-blocks are concatenated (2048-d) per layer
+  for the heads;
+* DPT head over 4 selected layers -> depth + confidence; camera head =
+  small transformer trunk on the camera token -> 9-d pose encoding.
+
+The RoPE here is computed directly with broadcasted iotas — the reference
+needed upstream graph surgery to remove ``cartesian_prod`` for ONNX export
+(``VGGT/onnx_export.py:13-22``); no such workaround is needed in JAX.
+
+TP sharding: the aggregator's attention/MLP weights match
+``parallel.sharding.vit_tp_rules`` (qkv/fc1 column-, proj/fc2 row-parallel),
+the one model in the zoo where multi-chip tensor parallelism pays off.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monocular_depth_estimation_trt_tpu.models.dpt import DPTHead
+from monocular_depth_estimation_trt_tpu.models.vit import (
+    DinoViT,
+    LayerScale,
+    Mlp,
+    ViTConfig,
+)
+
+
+def rope_2d_freqs(ph: int, pw: int, head_dim: int, base: float = 100.0):
+    """2D rotary position tables for a (ph, pw) patch grid.
+
+    Half the head dims rotate with the y coordinate, half with x (standard
+    2D axial RoPE). Returns (cos, sin) of shape (ph*pw, head_dim//2)."""
+    d4 = head_dim // 4
+    freqs = 1.0 / (base ** (np.arange(d4) / d4))  # (d4,)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1).reshape(-1)
+    ang_y = ys[:, None] * freqs[None]  # (N, d4)
+    ang_x = xs[:, None] * freqs[None]
+    ang = jnp.concatenate([ang_y, ang_x], axis=-1)  # (N, d2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(q: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """q: (..., N, d); rotate pairs (even, odd) by the per-position angles."""
+    q1 = q[..., 0::2]
+    q2 = q[..., 1::2]
+    rq1 = q1 * cos - q2 * sin
+    rq2 = q1 * sin + q2 * cos
+    out = jnp.stack([rq1, rq2], axis=-1)
+    return out.reshape(q.shape)
+
+
+class RopeAttention(nn.Module):
+    """Self-attention with 2D RoPE applied to patch tokens only (the leading
+    ``special`` tokens — camera + registers — are left unrotated)."""
+
+    dim: int
+    num_heads: int
+    num_special: int
+    grid_hw: Tuple[int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, views: int = 1) -> jax.Array:
+        b, n, _ = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        q = jnp.swapaxes(q, 1, 2)  # (B, H, N, d)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+
+        ph, pw = self.grid_hw
+        n_per_view = self.num_special + ph * pw
+        cos, sin = rope_2d_freqs(ph, pw, hd)
+        cos = cos.astype(self.dtype)
+        sin = sin.astype(self.dtype)
+
+        def rotate(t):
+            # t: (B, H, N, d) where N = views * n_per_view
+            tv = t.reshape(b, self.num_heads, views, n_per_view, hd)
+            special = tv[:, :, :, : self.num_special]
+            patches = tv[:, :, :, self.num_special :]
+            patches = apply_rope(patches, cos, sin)
+            return jnp.concatenate([special, patches], axis=3).reshape(t.shape)
+
+        q = rotate(q)
+        k = rotate(k)
+
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        s = s / np.sqrt(hd)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+
+
+class AASubBlock(nn.Module):
+    """One pre-norm transformer block with RoPE attention (frame or global)."""
+
+    dim: int
+    num_heads: int
+    num_special: int
+    grid_hw: Tuple[int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, views: int = 1) -> jax.Array:
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = RopeAttention(self.dim, self.num_heads, self.num_special,
+                          self.grid_hw, self.dtype, name="attn")(h, views)
+        x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls1")(h)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name="mlp")(h)
+        x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls2")(h)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class VGGTConfig:
+    dim: int = 1024
+    depth: int = 24  # alternating-attention blocks (each = frame + global)
+    num_heads: int = 16
+    patch_size: int = 14
+    num_register_tokens: int = 4
+    head_layers: Tuple[int, ...] = (4, 11, 17, 23)
+    encoder: str = "vitl"  # DINOv2 patch-feature extractor
+
+
+class Aggregator(nn.Module):
+    """Input: views (B, S, H, W, 3) normalized. Output: list of per-selected-
+    layer tokens (B, S, 1374, 2*dim) (frame||global concat, the reference's
+    ``aggregated_tokens_list``) plus (ph, pw)."""
+
+    cfg: VGGTConfig = VGGTConfig()
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, views: jax.Array):
+        c = self.cfg
+        b, s, H, W, _ = views.shape
+        ph, pw = H // c.patch_size, W // c.patch_size
+        flat = views.reshape(b * s, H, W, 3)
+
+        # DINOv2 patch features (the VGGT patch embed is a full DINOv2 ViT)
+        from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+        feats = DinoViT(
+            VIT_CONFIGS[c.encoder],
+            out_indices=(VIT_CONFIGS[c.encoder].depth - 1,),
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="patch_embed",
+        )(flat)
+        patch_tokens = feats[0][0]  # (B*S, ph*pw, 1024)
+        if patch_tokens.shape[-1] != c.dim:
+            patch_tokens = nn.Dense(c.dim, dtype=self.dtype, name="input_proj")(
+                patch_tokens
+            )
+
+        camera_token = self.param(
+            "camera_token", nn.initializers.normal(0.02), (1, 1, c.dim)
+        ).astype(self.dtype)
+        register_tokens = self.param(
+            "register_tokens",
+            nn.initializers.normal(0.02),
+            (1, c.num_register_tokens, c.dim),
+        ).astype(self.dtype)
+        num_special = 1 + c.num_register_tokens
+
+        tokens = jnp.concatenate(
+            [
+                jnp.broadcast_to(camera_token, (b * s, 1, c.dim)),
+                jnp.broadcast_to(
+                    register_tokens, (b * s, c.num_register_tokens, c.dim)
+                ),
+                patch_tokens,
+            ],
+            axis=1,
+        )  # (B*S, 1374, dim)
+        n_view = tokens.shape[1]
+
+        head_set = set(c.head_layers)
+        saved = {}
+        x = tokens
+        for i in range(c.depth):
+            # frame attention: within each view
+            x = AASubBlock(c.dim, c.num_heads, num_special, (ph, pw),
+                           self.dtype, name=f"frame_{i}")(x, views=1)
+            frame_out = x
+            # global attention: across all views of a batch element
+            xg = x.reshape(b, s * n_view, c.dim)
+            xg = AASubBlock(c.dim, c.num_heads, num_special, (ph, pw),
+                            self.dtype, name=f"global_{i}")(xg, views=s)
+            x = xg.reshape(b * s, n_view, c.dim)
+            if i in head_set:
+                cat = jnp.concatenate([frame_out, x], axis=-1)  # (B*S, N, 2dim)
+                saved[i] = cat.reshape(b, s, n_view, 2 * c.dim)
+        # duplicates/order allowed, as in DinoViT intermediate taps
+        outputs = [saved[i] for i in c.head_layers]
+        return outputs, (ph, pw)
+
+
+class CameraHead(nn.Module):
+    """Camera-token trunk -> pose encoding (B, S, 9):
+    [tx ty tz, qw qx qy qz, fov_h fov_w] (reference ``onnx2trt2.py:240``)."""
+
+    dim: int = 2048
+    trunk_depth: int = 4
+    num_heads: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        # tokens: last aggregated layer (B, S, N, 2dim); take camera token
+        cam = tokens[:, :, 0]  # (B, S, 2dim)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="input_proj")(cam)
+        for i in range(self.trunk_depth):
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm1_{i}")(x)
+            qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name=f"qkv_{i}")(h)
+            b, s, _ = h.shape
+            hd = self.dim // self.num_heads
+            qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)
+            att = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) / np.sqrt(hd)
+            p = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+            o = jnp.einsum("bhst,bthd->bshd", p, v).reshape(b, s, self.dim)
+            x = x + nn.Dense(self.dim, dtype=self.dtype, name=f"proj_{i}")(o)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm2_{i}")(x)
+            h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name=f"mlp_{i}")(h)
+            x = x + h
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        pose = nn.Dense(9, dtype=self.dtype, name="pose_branch")(x)
+        pose = pose.astype(jnp.float32)
+        # normalize quaternion part
+        t, quat, fov = pose[..., :3], pose[..., 3:7], pose[..., 7:9]
+        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-8)
+        fov = jax.nn.softplus(fov)
+        return jnp.concatenate([t, quat, fov], axis=-1)
+
+
+class VGGTDepthHead(nn.Module):
+    """DPT head over aggregated tokens -> (depth, confidence) per view."""
+
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, agg_tokens, patch_hw, num_special: int):
+        ph, pw = patch_hw
+        outs_d, outs_c = [], []
+        # fold (B, S) into batch; drop special tokens
+        feats = []
+        b, s = agg_tokens[0].shape[:2]
+        for t in agg_tokens:
+            patches = t[:, :, num_special:]  # (B, S, ph*pw, 2dim)
+            feats.append(
+                (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
+            )
+        head = DPTHead(
+            in_channels=feats[0][0].shape[-1],
+            features=self.features,
+            out_channels=self.out_channels,
+            final_act="none",
+            dtype=self.dtype,
+            name="dpt",
+        )
+        # DPTHead emits 1 channel; run a 2-channel variant by a second output
+        # conv on its penultimate features is cleaner, but for head parity we
+        # run the standard head for depth and a sibling conv stack for conf.
+        depth = head(feats, (ph, pw))  # (B*S, H, W)
+        depth = jnp.exp(jnp.clip(depth, -10.0, 10.0))  # positive metric depth
+        conf = DPTHead(
+            in_channels=feats[0][0].shape[-1],
+            features=self.features // 2,
+            out_channels=tuple(cc // 2 for cc in self.out_channels),
+            final_act="sigmoid",
+            dtype=self.dtype,
+            name="conf",
+        )(feats, (ph, pw))
+        H, W = ph * 14, pw * 14
+        return (
+            depth.reshape(b, s, H, W),
+            conf.reshape(b, s, H, W),
+        )
+
+
+class VGGT(nn.Module):
+    """Full model: views (B, S, H, W, 3) -> dict(depth, depth_conf, pose_enc).
+
+    Matches the reference 3-engine pipeline outputs (``VGGT/onnx2trt2.py``).
+    """
+
+    cfg: VGGTConfig = VGGTConfig()
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+    with_camera: bool = True
+
+    @nn.compact
+    def __call__(self, views: jax.Array):
+        agg, patch_hw = Aggregator(self.cfg, self.dtype, self.attn_impl,
+                                   name="aggregator")(views)
+        num_special = 1 + self.cfg.num_register_tokens
+        depth, conf = VGGTDepthHead(dtype=self.dtype, name="depth_head")(
+            agg, patch_hw, num_special
+        )
+        out = {"depth": depth, "depth_conf": conf}
+        if self.with_camera:
+            out["pose_enc"] = CameraHead(
+                2 * self.cfg.dim, dtype=self.dtype, name="camera_head"
+            )(agg[-1])
+        return out

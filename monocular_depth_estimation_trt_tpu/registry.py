@@ -499,6 +499,98 @@ def metric_anything(encoder: str = "vitl", input_hw: tuple = (518, 518),
 
 
 # ---------------------------------------------------------------------------
+# Multi-view geometry transformers (reference VGGT/, StreamVGGT/)
+# ---------------------------------------------------------------------------
+
+
+def _build_vggt(
+    model_name: str,
+    input_size: int,
+    precision: str,
+    attn_impl: str,
+    params: Any,
+    vggt_cfg: Any = None,
+    with_camera: bool = True,
+) -> DepthPipeline:
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
+    from monocular_depth_estimation_trt_tpu.ops.camera import (
+        extrinsics_from_quat_trans,
+        fov_to_focal,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        preprocess_pad_square,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    cfg = vggt_cfg or VGGTConfig()
+    spec = ModelSpec(
+        model=model_name, input_hw=(input_size, input_size), precision=precision,
+        metric=True,
+    )
+    model = VGGT(
+        cfg=cfg, dtype=compute_dtype(precision), attn_impl=attn_impl,
+        with_camera=with_camera,
+    )
+
+    def forward(p, img_u8, out_hw):
+        h0, w0 = out_hw
+        # pad to square (white), resize to 518, normalize
+        # (reference VGGT/onnx2trt.py:80-110)
+        x = preprocess_pad_square(img_u8, input_size)  # (1, 518, 518, 3)
+        out = model.apply({"params": p}, x[:, None])  # S=1
+        depth_sq = out["depth"][:, 0]  # (1, 518, 518)
+        conf_sq = out["depth_conf"][:, 0]
+        # crop the padding out (reference onnx2trt.py:184-189)
+        side = max(h0, w0)
+        top = int(round((side - h0) / 2 / side * input_size))
+        left = int(round((side - w0) / 2 / side * input_size))
+        hh = max(int(round(h0 / side * input_size)), 1)
+        ww = max(int(round(w0 / side * input_size)), 1)
+        depth_c = depth_sq[:, top : top + hh, left : left + ww]
+        conf_c = conf_sq[:, top : top + hh, left : left + ww]
+        depth = upsample_depth(depth_c, out_hw, clamp=(1e-3, 1e3))[0]
+        conf = upsample_depth(conf_c, out_hw, clamp=None)[0]
+        result = {"depth": depth, "depth_conf": conf}
+        if with_camera:
+            pose = out["pose_enc"][0, 0]  # (9,)
+            result["pose_enc"] = pose
+            result["extrinsic"] = extrinsics_from_quat_trans(pose[3:7], pose[:3])
+            result["focal_px"] = fov_to_focal(
+                jnp.rad2deg(pose[7]), input_size
+            )
+        return result
+
+    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(spec.artifact_name(), model, example)
+    return DepthPipeline(spec, forward, params, viz="metric")
+
+
+@register("vggt")
+def vggt(input_size: int = 518, precision: str = "bf16", attn_impl: str = "auto",
+         params: Any = None, depth_only: bool = False, **kw) -> DepthPipeline:
+    """VGGT-1B multi-view geometry transformer (reference ``VGGT/``):
+    aggregator + DPT depth head + camera head, single- or multi-view."""
+    return _build_vggt("vggt", input_size, precision, attn_impl, params,
+                       with_camera=not depth_only)
+
+
+@register("streamvggt")
+def streamvggt(input_size: int = 518, precision: str = "bf16",
+               attn_impl: str = "auto", params: Any = None, **kw) -> DepthPipeline:
+    """StreamVGGT causal/streaming variant. The reference exports the
+    single-frame depth-only wrapper (``StreamVGGT/onnx_export.py:25-55``) —
+    matched here; windowed multi-frame streaming is available through
+    ``apps.streaming`` by stacking recent frames on the S axis."""
+    return _build_vggt("streamvggt", input_size, precision, attn_impl, params,
+                       with_camera=False)
+
+
+# ---------------------------------------------------------------------------
 # Optical flow family (reference RAFT/, NeuFlow/, MeFlow/, MEMFOF/)
 # ---------------------------------------------------------------------------
 
@@ -544,3 +636,139 @@ def raft(
             spec.artifact_name(), model, (example, example), seed=0
         )
     return FlowPipeline(spec, forward, params)
+
+
+@register("neuflow")
+def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
+            params: Any = None, **kw) -> "FlowPipeline":
+    """NeuFlow v2 efficient flow (reference ``NeuFlow/``): global matching at
+    1/16 + windowed refinement; single ``flow`` output."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flow.neuflow import NeuFlow
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(model="neuflow", input_hw=tuple(input_hw),
+                     precision=precision)
+    model = NeuFlow(dtype=compute_dtype(precision))
+
+    def forward(p, img1_u8, img2_u8, in_hw=tuple(input_hw)):
+        x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        x2 = resize(img2_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        flow = model.apply({"params": p}, x1, x2)
+        return {"flow": flow[0]}
+
+    example = jnp.zeros((1, *input_hw, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, (example, example)
+        )
+    return FlowPipeline(spec, forward, params)
+
+
+@register("meflow")
+def meflow(iters: int = 20, input_hw: tuple = (288, 512),
+           precision: str = "bf16", params: Any = None, **kw) -> "FlowPipeline":
+    """MeFlow memory-efficient flow via alternating 1D correlations
+    (reference ``MeFlow/``)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flow.meflow import MeFlow
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(model="meflow", input_hw=tuple(input_hw),
+                     precision=precision, extra=(("iters", iters),))
+    model = MeFlow(iters=iters, dtype=compute_dtype(precision))
+
+    def forward(p, img1_u8, img2_u8, in_hw=tuple(input_hw)):
+        x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        x2 = resize(img2_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        flow_low, flow_up = model.apply({"params": p}, x1, x2)
+        return {"flow_low": flow_low[0], "flow": flow_up[0]}
+
+    example = jnp.zeros((1, *input_hw, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, (example, example)
+        )
+    return FlowPipeline(spec, forward, params)
+
+
+@register("memfof")
+def memfof(iters: int = 8, input_hw: tuple = (288, 512),
+           precision: str = "bf16", params: Any = None, **kw):
+    """MEMFOF 3-frame bidirectional flow with encoder feature caching
+    (reference ``MEMFOF/``). Returns a TripletFlowPipeline: call with three
+    frames; in video mode pass the previous call's cache."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flow.memfof import MEMFOF
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(model="memfof", input_hw=tuple(input_hw),
+                     precision=precision, extra=(("iters", iters),))
+    model = MEMFOF(iters=iters, dtype=compute_dtype(precision))
+
+    in_hw = tuple(input_hw)
+
+    def forward(p, frames_u8):
+        x = resize(frames_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        out = model.apply({"params": p}, x)
+        return {"flow": out["flow"][0], "fmap_cache": out["fmap_cache"]}
+
+    example = jnp.zeros((1, 3, *in_hw, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(spec.artifact_name(), model, example)
+
+    class TripletFlowPipeline:
+        def __init__(self):
+            self.spec = spec
+            self.params = params
+            self._eng = None
+
+        def engine(self):
+            if self._eng is None:
+                ex = jax.ShapeDtypeStruct((3, *in_hw, 3), jnp.uint8)
+                self._eng = Engine(
+                    forward, (self.params, ex), name=spec.artifact_name()
+                )
+            return self._eng
+
+        def __call__(self, f1, f2, f3):
+            frames = jnp.stack(
+                [jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(f3)], axis=0
+            )
+            out = self.engine()(self.params, frames)
+            return {
+                "flow": np.asarray(out["flow"]),
+                "fmap_cache": out["fmap_cache"],  # device-resident
+            }
+
+        def benchmark(self, _in_hw=None, config=None):
+            from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+                benchmark as _bench,
+            )
+
+            eng = self.engine()
+            eng.compile()
+            rng = np.random.default_rng(0)
+            frames = jax.device_put(
+                rng.integers(0, 255, (3, *in_hw, 3), dtype=np.uint8)
+            )
+            return _bench(
+                lambda f: eng(self.params, f), (frames,), config=config,
+                name=spec.artifact_name(),
+            )
+
+    return TripletFlowPipeline()

@@ -1,0 +1,87 @@
+"""VGGT: RoPE correctness, aggregator contract, multi-view shapes, TP rules."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monocular_depth_estimation_trt_tpu.models.vggt import (
+    VGGT,
+    VGGTConfig,
+    apply_rope,
+    rope_2d_freqs,
+)
+
+TINY_CFG = VGGTConfig(
+    dim=64, depth=2, num_heads=4, num_register_tokens=4, head_layers=(0, 1, 0, 1),
+    encoder="vits",
+)
+
+
+def _tiny_vit_patch(monkeypatch_dict):
+    """Swap the vits preset for a tiny one inside the vggt module's view."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, ViTConfig
+
+    tiny = ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70)
+    monkeypatch_dict["orig"] = VIT_CONFIGS["vits"]
+    VIT_CONFIGS["vits"] = tiny
+
+
+def _restore_vit(monkeypatch_dict):
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    VIT_CONFIGS["vits"] = monkeypatch_dict["orig"]
+
+
+def test_rope_preserves_norm_and_relative_phase(rng):
+    ph, pw, hd = 3, 4, 16
+    cos, sin = rope_2d_freqs(ph, pw, hd)
+    q = jnp.asarray(rng.standard_normal((1, 2, ph * pw, hd)).astype(np.float32))
+    rq = apply_rope(q, cos, sin)
+    # rotation preserves norms
+    assert np.allclose(
+        np.linalg.norm(np.asarray(q), axis=-1),
+        np.linalg.norm(np.asarray(rq), axis=-1),
+        atol=1e-5,
+    )
+    # dot products depend only on relative position: q at (0,0) vs k at (0,1)
+    # equals q at (0,1) vs k at (0,2) for identical underlying vectors
+    v = jnp.asarray(rng.standard_normal((hd,)).astype(np.float32))
+    tiled = jnp.broadcast_to(v, (1, 1, ph * pw, hd))
+    r = apply_rope(tiled, cos, sin)[0, 0]
+    d01 = float(jnp.dot(r[0], r[1]))
+    d12 = float(jnp.dot(r[1], r[2]))
+    assert abs(d01 - d12) < 1e-4
+
+
+@pytest.mark.parametrize("s", [1, 2])
+def test_vggt_forward_contract(rng, s):
+    md = {}
+    _tiny_vit_patch(md)
+    try:
+        model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
+        x = jnp.asarray(
+            rng.standard_normal((1, s, 70, 70, 3)).astype(np.float32) * 0.3
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        out = model.apply({"params": params}, x)
+        assert out["depth"].shape == (1, s, 70, 70)
+        assert out["depth_conf"].shape == (1, s, 70, 70)
+        assert out["pose_enc"].shape == (1, s, 9)
+        assert np.isfinite(np.asarray(out["depth"])).all()
+        # quaternion part normalized
+        q = np.asarray(out["pose_enc"])[..., 3:7]
+        assert np.allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+        assert (np.asarray(out["depth"]) > 0).all()
+    finally:
+        _restore_vit(md)
+
+
+def test_vggt_tp_rules_cover_aggregator():
+    from monocular_depth_estimation_trt_tpu.parallel.sharding import vit_tp_rules
+    from jax.sharding import PartitionSpec as P
+
+    rules = vit_tp_rules()
+    assert rules.spec_for("aggregator/frame_0/attn/qkv/kernel", 2) == P(None, "model")
+    assert rules.spec_for("aggregator/global_5/mlp/fc2/kernel", 2) == P("model", None)
