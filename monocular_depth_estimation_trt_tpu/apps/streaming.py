@@ -165,6 +165,99 @@ def run_flow_frames(
     return out_path
 
 
+class VGGTStreamingSession:
+    """Windowed multi-view streaming on a VGGT model (the StreamVGGT serving
+    pattern, reference ``StreamVGGT/``: causal per-frame depth with temporal
+    context).
+
+    Keeps the last ``window`` frames; each step runs the jitted multi-view
+    model over the window (static S -> one compiled program) and returns the
+    newest view's outputs. The window is left-padded by repeating the oldest
+    frame so shapes stay static from the first step.
+    """
+
+    def __init__(self, model_apply, params, *, window: int = 4,
+                 input_size: int = 518):
+        import collections
+
+        import jax
+
+        self.window = window
+        self.input_size = input_size
+        self.params = params
+        self._frames = collections.deque(maxlen=window)
+        self._jit = jax.jit(model_apply)
+
+    def step(self, frame_u8: np.ndarray):
+        """frame_u8: (H, W, 3) RGB uint8 -> dict with the newest view's
+        depth/conf (device arrays)."""
+        import jax.numpy as jnp
+
+        from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+            preprocess_pad_square,
+        )
+
+        x = preprocess_pad_square(jnp.asarray(frame_u8), self.input_size)[0]
+        self._frames.append(x)
+        frames = list(self._frames)
+        while len(frames) < self.window:
+            frames.insert(0, frames[0])
+        views = jnp.stack(frames, axis=0)[None]  # (1, S, H, W, 3)
+        out = self._jit(self.params, views)
+        return {
+            "depth": out["depth"][0, -1],
+            "depth_conf": out["depth_conf"][0, -1],
+        }
+
+
+def run_flow_triplets(
+    triplet_pipeline,
+    frames_dir: str,
+    out_path: str,
+    *,
+    size_wh: tuple = (512, 288),
+    max_triplets: Optional[int] = None,
+) -> str:
+    """MEMFOF-style 3-frame bidirectional flow over a frame directory ->
+    forward-flow MP4, reusing the encoder feature cache across steps
+    (reference ``MEMFOF/wrapper.py:210-232``)."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.ops.flow_viz import flow_to_color
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    paths = sorted(
+        os.path.join(frames_dir, f)
+        for f in os.listdir(frames_dir)
+        if os.path.splitext(f)[1].lower() in exts
+    )
+    if len(paths) < 3:
+        raise FileNotFoundError(f"[MDET] need >=3 frames in {frames_dir}")
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), 15.0,
+                             size_wh)
+    load = lambda p: cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+    n = 0
+    for i in range(1, len(paths) - 1):
+        if max_triplets and n >= max_triplets:
+            break
+        out = triplet_pipeline(load(paths[i - 1]), load(paths[i]), load(paths[i + 1]))
+        fwd = out["flow"][1]  # center->next
+        import jax.numpy as jnp
+
+        viz = np.asarray(flow_to_color(jnp.asarray(fwd)))
+        viz = cv2.cvtColor(viz, cv2.COLOR_RGB2BGR)
+        if (viz.shape[1], viz.shape[0]) != size_wh:
+            viz = cv2.resize(viz, size_wh)
+        writer.write(viz)
+        n += 1
+    writer.release()
+    log(f"wrote {n} flow frames -> {out_path}")
+    return out_path
+
+
 def extract_frames_from_video(
     video_path: str, out_dir: str, *, every: int = 1, max_frames: Optional[int] = None
 ) -> int:

@@ -98,6 +98,70 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_flow(args) -> int:
+    """Optical flow over consecutive frames of a directory or video
+    (reference RAFT/NeuFlow/MeFlow onnx2trt video loops)."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu.apps.streaming import (
+        extract_frames_from_video,
+        run_flow_frames,
+    )
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    kw = {}
+    if args.iters:
+        kw["iters"] = args.iters
+    pipe = build_pipeline(args.model, **kw)
+    frames_dir = args.frames
+    if args.video:
+        frames_dir = os.path.join(args.out, "_frames")
+        extract_frames_from_video(args.video, frames_dir, max_frames=args.max_frames)
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, f"{args.model}_flow.mp4")
+    if args.model == "memfof":
+        from monocular_depth_estimation_trt_tpu.apps.streaming import (
+            run_flow_triplets,
+        )
+
+        run_flow_triplets(pipe, frames_dir, out_path,
+                          max_triplets=args.max_frames or None)
+    else:
+        run_flow_frames(pipe, frames_dir, out_path,
+                        max_pairs=args.max_frames or None)
+    return 0
+
+
+def cmd_video(args) -> int:
+    """Depth over a video file -> colorized MP4 (reference
+    ``Depth_Pro/onnx2trt_video.py``)."""
+    from monocular_depth_estimation_trt_tpu.apps.streaming import run_video
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    pipe = build_pipeline(args.model, **kw)
+    os.makedirs(args.out, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.video))[0]
+    out_path = os.path.join(args.out, f"{stem}_{pipe.spec.artifact_name()}.mp4")
+    run_video(pipe, args.video, out_path, max_frames=args.max_frames or None)
+    return 0
+
+
+def cmd_webcam(args) -> int:
+    """Live depth viewer (reference ``Depth_Pro/onnx2trt_webcam.py``; accepts
+    an IP-camera URL)."""
+    from monocular_depth_estimation_trt_tpu.apps.streaming import run_webcam
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    pipe = build_pipeline(args.model, **kw)
+    camera = args.camera
+    if camera.isdigit():
+        camera = int(camera)
+    run_webcam(pipe, camera)
+    return 0
+
+
 def cmd_models(_args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import list_models
 
@@ -144,6 +208,30 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--warmup", type=int, default=10)
     bench.add_argument("--iterations", type=int, default=100)
     bench.set_defaults(fn=cmd_bench)
+
+    flow = sub.add_parser("flow", help="optical flow over frames/video")
+    flow.add_argument("model", choices=["raft", "neuflow", "meflow", "memfof"])
+    flow.add_argument("--frames", default="video_frames")
+    flow.add_argument("--video", default="")
+    flow.add_argument("--out", default="results")
+    flow.add_argument("--iters", type=int, default=0)
+    flow.add_argument("--max-frames", type=int, default=0)
+    flow.set_defaults(fn=cmd_flow)
+
+    video = sub.add_parser("video", help="depth over a video file")
+    video.add_argument("model")
+    video.add_argument("--encoder", default="")
+    video.add_argument("--video", required=True)
+    video.add_argument("--out", default="results")
+    video.add_argument("--max-frames", type=int, default=0)
+    video.set_defaults(fn=cmd_video)
+
+    webcam = sub.add_parser("webcam", help="live depth viewer (webcam or IP cam)")
+    webcam.add_argument("model")
+    webcam.add_argument("--encoder", default="")
+    webcam.add_argument("--camera", default="0",
+                        help="device index or IP camera URL")
+    webcam.set_defaults(fn=cmd_webcam)
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
