@@ -311,6 +311,61 @@ class VGGTDepthHead(nn.Module):
         )
 
 
+def build_stage_pipeline(
+    params,
+    cfg: "VGGTConfig" = None,
+    dtype: Any = jnp.bfloat16,
+    attn_impl: str = "auto",
+):
+    """The reference's 3-engine chained pipeline (``VGGT/onnx2trt2.py:155-208``)
+    as a :class:`~runtime.pipeline.DevicePipeline`: aggregator ->
+    (depth_head, camera_head), intermediate tokens device-resident (the D2D
+    chaining is implicit in JAX). Stages are independently jitted, so heads
+    can be skipped/swapped per request — or call ``.fused()`` to let XLA
+    schedule the whole graph as one program.
+
+    ``params`` is the full VGGT param tree (keys aggregator / depth_head /
+    camera_head).
+    """
+    from monocular_depth_estimation_trt_tpu.runtime.pipeline import (
+        DevicePipeline,
+        Stage,
+    )
+
+    cfg = cfg or VGGTConfig()
+    num_special = 1 + cfg.num_register_tokens
+    agg = Aggregator(cfg, dtype, attn_impl)
+    dh = VGGTDepthHead(dtype=dtype)
+    ch = CameraHead(2 * cfg.dim, dtype=dtype)
+
+    def agg_fn(views):
+        outs, _ = agg.apply({"params": params["aggregator"]}, views)
+        # single named output holding the tuple of per-layer token arrays
+        return (tuple(outs),)
+
+    def _patch_hw(tokens):
+        n_patch = tokens[0].shape[2] - num_special
+        side = int(round(n_patch**0.5))
+        return side, side
+
+    def depth_fn(tokens):
+        return dh.apply(
+            {"params": params["depth_head"]}, list(tokens), _patch_hw(tokens),
+            num_special,
+        )
+
+    def camera_fn(tokens):
+        return ch.apply({"params": params["camera_head"]}, tokens[-1])
+
+    return DevicePipeline(
+        [
+            Stage("aggregator", agg_fn, ["views"], ["tokens"]),
+            Stage("depth_head", depth_fn, ["tokens"], ["depth", "depth_conf"]),
+            Stage("camera_head", camera_fn, ["tokens"], ["pose_enc"]),
+        ]
+    )
+
+
 class VGGT(nn.Module):
     """Full model: views (B, S, H, W, 3) -> dict(depth, depth_conf, pose_enc).
 

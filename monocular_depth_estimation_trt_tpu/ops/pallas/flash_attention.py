@@ -87,7 +87,9 @@ def flash_attention(
         scale = 1.0 / float(np.sqrt(d))
 
     n_pad = _round_up(n, 128)
-    d_pad = _round_up(d, 128)
+    # pad d to a lane-friendly size but do NOT round 64 up to 128 — that
+    # doubles QK^T and PV FLOPs for the common ViT head_dim=64
+    d_pad = 64 if d <= 64 else _round_up(d, 128)
     blk_q = min(blk_q, n_pad)
     while n_pad % blk_q:
         blk_q //= 2

@@ -1,0 +1,49 @@
+"""Golden-artifact regression tests (SURVEY.md §4 protocol).
+
+The reference's quality gate is committed golden outputs (depth .npz + README
+max/min values) diffed across engine rebuilds. Here: deterministic tiny
+models (fixed seeds, fp32, CPU) with committed golden depth maps. A drift
+beyond tolerance means a semantic change to the model graph or ops — bump the
+golden deliberately, never silently.
+
+Regenerate: see the generation snippet in git history / run the body of
+``_build`` with ``save=True``.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _build():
+    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
+        DepthAnythingV2,
+    )
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(dim=64, depth=4, num_heads=2, pretrain_img_size=70)
+    model = DepthAnythingV2(
+        encoder="tiny", dtype=jnp.float32, attn_impl="xla", vit_config=cfg,
+        head_features=16, head_out_channels=(8, 16, 32, 32),
+        out_indices=(0, 1, 2, 3),
+    )
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.standard_normal((1, 70, 70, 3)).astype(np.float32) * 0.5)
+    params = jax.jit(model.init)(jax.random.PRNGKey(7), x)["params"]
+    return model, params, x
+
+
+def test_da_v2_tiny_matches_golden():
+    model, params, x = _build()
+    depth = np.asarray(model.apply({"params": params}, x))
+    golden = np.load(os.path.join(GOLDEN_DIR, "da_v2_tiny_seed7.npz"))["depth"]
+    assert depth.shape == golden.shape
+    err = np.max(np.abs(depth - golden))
+    # reference parity bar is 1e-2 (BASELINE.json); regression bar is tighter
+    assert err < 1e-3, f"golden drift {err:.2e}"

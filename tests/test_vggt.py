@@ -78,6 +78,34 @@ def test_vggt_forward_contract(rng, s):
         _restore_vit(md)
 
 
+def test_vggt_stage_pipeline_matches_fused(rng):
+    """3-stage DevicePipeline == monolithic model (the reference's 3-engine
+    split, VGGT/onnx2trt2.py:155-208)."""
+    from monocular_depth_estimation_trt_tpu.models.vggt import build_stage_pipeline
+
+    md = {}
+    _tiny_vit_patch(md)
+    try:
+        model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
+        x = jnp.asarray(
+            rng.standard_normal((1, 1, 70, 70, 3)).astype(np.float32) * 0.3
+        )
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        ref = model.apply({"params": params}, x)
+
+        pipe = build_stage_pipeline(params, TINY_CFG, dtype=jnp.float32,
+                                    attn_impl="xla")
+        out = pipe({"views": x}, profile=True)
+        assert np.allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
+                           atol=1e-5)
+        assert np.allclose(np.asarray(out["pose_enc"]),
+                           np.asarray(ref["pose_enc"]), atol=1e-5)
+        assert set(pipe.last_stage_ms) == {"aggregator", "depth_head",
+                                           "camera_head"}
+    finally:
+        _restore_vit(md)
+
+
 def test_vggt_tp_rules_cover_aggregator():
     from monocular_depth_estimation_trt_tpu.parallel.sharding import vit_tp_rules
     from jax.sharding import PartitionSpec as P
