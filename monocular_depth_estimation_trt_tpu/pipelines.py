@@ -108,6 +108,39 @@ class DepthPipeline:
             return out
         return {k: np.asarray(v) for k, v in out.items()}
 
+    # -- batched serving --------------------------------------------------
+    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int) -> Engine:
+        """Engine over a frame batch (B, H, W, 3) via vmap of the per-frame
+        program — the throughput-serving mode the reference lacks (its batch
+        dim is pinned to 1 everywhere, SURVEY.md §2.1); on TPU batching is
+        the main MXU-utilization lever."""
+        key = (in_hw, "batch", batch)
+        if key in self._engines:
+            return self._engines[key]
+
+        batched = jax.vmap(self._forward, in_axes=(None, 0, None))
+
+        def run(params, imgs):
+            return batched(params, imgs, in_hw)
+
+        example = jax.ShapeDtypeStruct((batch, in_hw[0], in_hw[1], 3), jnp.uint8)
+        eng = Engine(
+            run,
+            (self.params, example),
+            name=f"{self.spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}_b{batch}",
+        )
+        self._engines[key] = eng
+        return eng
+
+    def batch_call(self, frames: np.ndarray, *, device_out: bool = False):
+        """frames: (B, H, W, 3) RGB uint8 -> dict of stacked outputs."""
+        b, h, w = frames.shape[:3]
+        eng = self.batch_engine_for((h, w), b)
+        out = eng(self.params, jnp.asarray(frames))
+        if device_out:
+            return out
+        return {k: np.asarray(v) for k, v in out.items()}
+
     # -- benchmark --------------------------------------------------------
     def benchmark(
         self,
