@@ -74,8 +74,20 @@ def cmd_run(args) -> int:
             depth_to_pointcloud_file,
         )
 
-        ply = os.path.join(args.out, f"{stem}_{name}.ply")
-        depth_to_pointcloud_file(depth, img, ply, focal=args.focal)
+        # prefer the model's own camera estimate when it predicts one
+        # (Depth Pro f_px, UniDepth intrinsics — reference
+        # Depth_Pro/onnx2trt_pointcloud.py:216-230)
+        focal = args.focal
+        intrinsics = None
+        if "f_px" in out:
+            focal = float(out["f_px"])
+            log(f"using predicted focal length: {focal:.2f} px")
+        if "intrinsics" in out:
+            intrinsics = out["intrinsics"]
+        ext = "glb" if args.mesh_format == "glb" else "ply"
+        ply = os.path.join(args.out, f"{stem}_{name}.{ext}")
+        depth_to_pointcloud_file(depth, img, ply, focal=focal,
+                                 intrinsics=intrinsics)
         log(f"wrote {ply}")
 
     if args.benchmark:
@@ -198,6 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")
+    run.add_argument("--mesh-format", default="ply", choices=["ply", "glb"],
+                     help="point-cloud container (MoGe-2 exports .glb too)")
     run.add_argument("--benchmark", action="store_true")
     run.set_defaults(fn=cmd_run)
 

@@ -111,10 +111,17 @@ class RopeAttention(nn.Module):
         q = rotate(q)
         k = rotate(k)
 
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
-        s = s / np.sqrt(hd)
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        if jax.default_backend() == "tpu" and self.num_heads >= 12:
+            from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+                flash_attention,
+            )
+
+            o = flash_attention(q, k, v)
+        else:
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            s = s / np.sqrt(hd)
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
 

@@ -90,11 +90,15 @@ class Attention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # Measured on v5e at N=1370: XLA's fused attention currently edges
-            # out our Pallas kernel (2.0ms vs 2.9ms encoder time for ViT-S);
-            # keep XLA as the auto choice until the kernel wins
-            # (`attn_impl="flash"` selects it explicitly).
-            impl = "xla"
+            # Measured on v5e at N=1370 (both with the unpadded-d kernel):
+            # ViT-S (6 heads):  XLA 2.06 ms vs flash 3.01 ms  -> XLA
+            # ViT-L (16 heads): XLA 15.35 ms vs flash 13.17 ms -> flash
+            # The Pallas kernel amortizes better with more (batch*head)
+            # programs; pick it for the wide models.
+            use_flash = (
+                jax.default_backend() == "tpu" and self.num_heads >= 12
+            )
+            impl = "flash" if use_flash else "xla"
         if impl == "flash":
             from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
                 flash_attention,
