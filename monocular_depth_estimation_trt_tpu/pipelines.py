@@ -101,9 +101,13 @@ class DepthPipeline:
     ) -> Dict[str, Any]:
         """image_u8: (H, W, 3) RGB uint8. Returns dict of host numpy outputs
         (or device arrays if ``device_out``)."""
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            device_put_chunked,
+        )
+
         h, w = image_u8.shape[:2]
         eng = self.engine_for((h, w), viz)
-        out = eng(self.params, jnp.asarray(image_u8))
+        out = eng(self.params, device_put_chunked(np.asarray(image_u8)))
         if device_out:
             return out
         return {k: np.asarray(v) for k, v in out.items()}
@@ -134,12 +138,20 @@ class DepthPipeline:
 
     def batch_call(self, frames: np.ndarray, *, device_out: bool = False):
         """frames: (B, H, W, 3) RGB uint8 -> dict of stacked outputs."""
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            device_put_chunked,
+        )
+
         b, h, w = frames.shape[:3]
         eng = self.batch_engine_for((h, w), b)
-        out = eng(self.params, jnp.asarray(frames))
+        out = eng(self.params, device_put_chunked(np.asarray(frames)))
         if device_out:
             return out
-        return {k: np.asarray(v) for k, v in out.items()}
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            tree_get_chunked,
+        )
+
+        return tree_get_chunked(out)
 
     # -- benchmark --------------------------------------------------------
     def benchmark(

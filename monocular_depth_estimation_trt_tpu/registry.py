@@ -746,8 +746,12 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
             return self._eng
 
         def __call__(self, f1, f2, f3):
-            frames = jnp.stack(
-                [jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(f3)], axis=0
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+            )
+
+            frames = device_put_chunked(
+                np.stack([np.asarray(f1), np.asarray(f2), np.asarray(f3)])
             )
             out = self.engine()(self.params, frames)
             return {
