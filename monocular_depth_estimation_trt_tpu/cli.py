@@ -174,6 +174,25 @@ def cmd_webcam(args) -> int:
     return 0
 
 
+def cmd_build(args) -> int:
+    """Pre-build (AOT compile) an engine for a model config — the reference's
+    explicit engine-build step (``onnx2trt.py`` run once to produce the
+    ``.engine``), minus the multi-minute builds on a warm cache."""
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    if args.metric:
+        kw["metric"] = True
+    pipe = build_pipeline(args.model, **kw)
+    eng = pipe.engine_for((args.size, args.size), args.viz)
+    eng.compile()
+    log(f"engine ready: {eng.name} (build {eng.build_seconds:.2f}s)")
+    fl = eng.flops()
+    if fl:
+        log(f"program FLOPs: {fl / 1e9:.2f} G")
+    return 0
+
+
 def cmd_models(_args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import list_models
 
@@ -246,6 +265,14 @@ def build_parser() -> argparse.ArgumentParser:
     webcam.add_argument("--camera", default="0",
                         help="device index or IP camera URL")
     webcam.set_defaults(fn=cmd_webcam)
+
+    build = sub.add_parser("build", help="pre-build an engine (AOT compile)")
+    build.add_argument("model")
+    build.add_argument("--encoder", default="")
+    build.add_argument("--size", type=int, default=518)
+    build.add_argument("--metric", action="store_true")
+    build.add_argument("--viz", action="store_true")
+    build.set_defaults(fn=cmd_build)
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)

@@ -92,16 +92,19 @@ class MEMFOF(nn.Module):
         net = jnp.tanh(net)
         context = nn.relu(context)
 
-        # feature network per frame at 1/16, cache-reusable
+        # feature network per frame at 1/16; per-frame cache entries may be
+        # provided (video mode reuses two of three encodes per step, the
+        # reference's fmap_cache pattern, MEMFOF/wrapper.py:210-232)
         fnet = Down16Encoder(256, "instance", dtype=self.dtype, name="fnet")
-        if fmap_cache is not None:
-            f1, f2, f3 = fmap_cache
-        else:
-            frames = x.reshape(b * 3, H, W, 3)
-            fm = fnet(frames)
-            f1, f2, f3 = fm.reshape(b, 3, *fm.shape[1:])[:, 0], \
-                fm.reshape(b, 3, *fm.shape[1:])[:, 1], \
-                fm.reshape(b, 3, *fm.shape[1:])[:, 2]
+        cache = list(fmap_cache) if fmap_cache is not None else [None, None, None]
+        missing = [i for i in range(3) if cache[i] is None]
+        if missing:
+            frames = jnp.stack([x[:, i] for i in missing], axis=1)
+            fm = fnet(frames.reshape(b * len(missing), H, W, 3))
+            fm = fm.reshape(b, len(missing), *fm.shape[1:])
+            for j, i in enumerate(missing):
+                cache[i] = fm[:, j]
+        f1, f2, f3 = cache
 
         pyr21 = build_corr_pyramid(f2.astype(jnp.float32), f1.astype(jnp.float32),
                                    self.corr_levels)

@@ -110,7 +110,11 @@ class DepthPipeline:
         out = eng(self.params, device_put_chunked(np.asarray(image_u8)))
         if device_out:
             return out
-        return {k: np.asarray(v) for k, v in out.items()}
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            tree_get_chunked,
+        )
+
+        return tree_get_chunked(out)
 
     # -- batched serving --------------------------------------------------
     def batch_engine_for(self, in_hw: Tuple[int, int], batch: int) -> Engine:
@@ -283,10 +287,19 @@ class FlowPipeline:
         return eng
 
     def __call__(self, frame1: np.ndarray, frame2: np.ndarray, *, viz: bool = False):
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            device_put_chunked,
+            tree_get_chunked,
+        )
+
         h, w = frame1.shape[:2]
         eng = self.engine_for((h, w), viz)
-        out = eng(self.params, jnp.asarray(frame1), jnp.asarray(frame2))
-        return {k: np.asarray(v) for k, v in out.items()}
+        out = eng(
+            self.params,
+            device_put_chunked(np.asarray(frame1)),
+            device_put_chunked(np.asarray(frame2)),
+        )
+        return tree_get_chunked(out)
 
     def benchmark(
         self, in_hw: Tuple[int, int], config: Optional[BenchmarkConfig] = None

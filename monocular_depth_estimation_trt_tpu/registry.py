@@ -68,6 +68,7 @@ def _build_da_family(
     checkpoint: Optional[str] = None,
     params: Any = None,
     viz: Optional[str] = None,
+    resize_mode: str = "square",  # "square" | "lower_bound"
 ) -> DepthPipeline:
     import jax
 
@@ -107,9 +108,18 @@ def _build_da_family(
     )
 
     def preprocess(img_u8):
-        # Reference path: host resize raw->(518,518) (onnx2trt.py:146), then
-        # lower-bound x14 resize (identity at 518^2) + ImageNet normalize
-        # (onnx2trt.py:98-130). Fused on device here.
+        if resize_mode == "lower_bound":
+            # aspect-preserving DPT policy (reference infer.py transform:
+            # Resize lower_bound x14 + ImageNet normalize); the network runs
+            # at the lower-bound resolution derived from the input shape
+            from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+                preprocess_lower_bound,
+            )
+
+            return preprocess_lower_bound(img_u8, target=input_size)
+        # Reference square path: host resize raw->(518,518) (onnx2trt.py:146),
+        # then lower-bound x14 resize (identity at 518^2) + ImageNet
+        # normalize (onnx2trt.py:98-130). Fused on device here.
         x = to_float_rgb(img_u8)
         x = resize(x, spec.input_hw, method="linear")
         x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)
@@ -747,6 +757,7 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
 
         def __call__(self, f1, f2, f3):
             from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_get_chunked,
                 device_put_chunked,
             )
 
@@ -755,7 +766,7 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
             )
             out = self.engine()(self.params, frames)
             return {
-                "flow": np.asarray(out["flow"]),
+                "flow": device_get_chunked(out["flow"]),
                 "fmap_cache": out["fmap_cache"],  # device-resident
             }
 
@@ -775,4 +786,64 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
                 name=spec.artifact_name(),
             )
 
-    return TripletFlowPipeline()
+        def stream(self):
+            return MEMFOFSession(self)
+
+    class MEMFOFSession:
+        """Video mode: per step only the newest frame is encoded; the two
+        older feature maps come from the previous step's cache (reference
+        ``MEMFOF/wrapper.py:210-232,277-281``)."""
+
+        def __init__(self, pipe):
+            self.pipe = pipe
+            self._frames = []  # device frames (resized model inputs)
+            self._cache = None
+            ex_frame = jax.ShapeDtypeStruct((*in_hw, 3), jnp.uint8)
+
+            def cached_forward(p, f1, f2, f3, c1, c2):
+                x = jnp.stack([f1, f2, f3], axis=0).astype(jnp.float32)[None]
+                out = model.apply({"params": p}, x, fmap_cache=(c1, c2, None))
+                return {"flow": out["flow"][0], "fmap_cache": out["fmap_cache"]}
+
+            self._cached_eng = None
+            self._cached_forward = cached_forward
+
+        def step(self, frame_u8):
+            """Push one frame; returns bidirectional flow for the previous
+            frame once >=3 frames have been seen (else None)."""
+            from monocular_depth_estimation_trt_tpu.ops.resize import resize as _rs
+
+            f = jax.jit(lambda u: _rs(u.astype(jnp.float32), in_hw,
+                                      method="linear").astype(jnp.uint8))(
+                jax.device_put(np.asarray(frame_u8))
+            )
+            self._frames.append(f)
+            if len(self._frames) < 3:
+                return None
+            self._frames = self._frames[-3:]
+            f1, f2, f3 = self._frames
+            if self._cache is None:
+                out = pipe_self(f1, f2, f3)
+                self._cache = out["fmap_cache"]
+                return out["flow"]
+            c1, c2 = self._cache[1], self._cache[2]
+            if self._cached_eng is None:
+                from monocular_depth_estimation_trt_tpu.runtime.engine import (
+                    Engine as _E,
+                )
+
+                self._cached_eng = _E(
+                    self._cached_forward,
+                    (pipe_self.params, f1, f2, f3, c1, c2),
+                    name=spec.artifact_name() + "_stream",
+                )
+            out = self._cached_eng(pipe_self.params, f1, f2, f3, c1, c2)
+            self._cache = out["fmap_cache"]
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_get_chunked,
+            )
+
+            return device_get_chunked(out["flow"])
+
+    pipe_self = TripletFlowPipeline()
+    return pipe_self

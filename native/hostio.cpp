@@ -53,6 +53,7 @@ struct FramePump {
   std::vector<std::string> paths;     // images mode
   std::string video_path;             // video mode
   std::vector<std::thread> workers;
+  std::atomic<int> active_workers{0};
 };
 
 void decode_into(FramePump* p, const cv::Mat& bgr, int slot_idx, int64_t index) {
@@ -90,15 +91,23 @@ void publish(FramePump* p, int slot_idx, int64_t index) {
 
 void image_worker(FramePump* p) {
   for (;;) {
+    // IMPORTANT ordering: reserve a ring slot BEFORE claiming a frame
+    // index. Claiming the index first can deadlock: all slots get held by
+    // newer frames while the consumer waits on an older frame whose worker
+    // blocks forever on a free slot the consumer will never release.
+    int slot = take_free_slot(p);
+    if (slot < 0) break;  // stopping
     int64_t index;
     {
       std::lock_guard<std::mutex> lk(p->mu);
-      if (p->stop || p->next_decode >= (int64_t)p->paths.size()) break;
+      if (p->stop || p->next_decode >= (int64_t)p->paths.size()) {
+        p->free_slots.push_back(slot);  // give the slot back
+        p->cv_free.notify_one();
+        break;
+      }
       index = p->next_decode++;
     }
     cv::Mat bgr = cv::imread(p->paths[index], cv::IMREAD_COLOR);
-    int slot = take_free_slot(p);
-    if (slot < 0) break;
     if (bgr.empty()) {
       // publish a black frame rather than stalling the ordered stream
       cv::Mat black(p->out_h, p->out_w, CV_8UC3, cv::Scalar(0, 0, 0));
@@ -108,9 +117,10 @@ void image_worker(FramePump* p) {
     }
     publish(p, slot, index);
   }
-  // last worker out marks done
-  std::lock_guard<std::mutex> lk(p->mu);
-  if (p->next_decode >= (int64_t)p->paths.size()) {
+  // the LAST worker to exit marks the stream done (every earlier exiter's
+  // frames are already published because publish happens before exit)
+  if (p->active_workers.fetch_sub(1) == 1) {
+    std::lock_guard<std::mutex> lk(p->mu);
     p->done = true;
     p->cv_ready.notify_all();
   }
@@ -150,6 +160,7 @@ FramePump* mdet_pump_create_images(const char** paths, int n, int ring,
   }
   for (int i = 0; i < n; ++i) p->paths.emplace_back(paths[i]);
   if (n_threads < 1) n_threads = 1;
+  p->active_workers = n_threads;
   for (int i = 0; i < n_threads; ++i)
     p->workers.emplace_back(image_worker, p);
   return p;

@@ -64,6 +64,31 @@ def test_encode_jpg(tmp_path, rng):
     assert back is not None and back.shape == (50, 60, 3)
 
 
+def test_pump_stress_small_ring(tmp_path, rng):
+    """Deadlock regression: more workers than ring slots, slow consumer.
+
+    The original slot-acquisition order (index before slot) deadlocked when
+    all ring slots were held by newer frames while the consumer waited on an
+    older frame whose worker was blocked on a free slot."""
+    import time
+
+    d = tmp_path / "stress"
+    d.mkdir()
+    paths = []
+    for i in range(40):
+        img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        p = str(d / f"s_{i:03d}.png")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    for trial in range(3):
+        with native.FramePump.from_images(paths, (64, 64), ring=2, threads=6) as pump:
+            seen = []
+            for idx, frame in pump:
+                time.sleep(0.002)  # slow consumer widens the race window
+                seen.append(idx)
+            assert seen == list(range(40)), f"trial {trial}: {seen[:5]}..."
+
+
 def test_pump_video(tmp_path, rng):
     vp = str(tmp_path / "clip.mp4")
     writer = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (96, 64))
