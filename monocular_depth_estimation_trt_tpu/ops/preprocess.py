@@ -114,7 +114,12 @@ def preprocess_pad_square(
     method: str = "cubic",
 ) -> jax.Array:
     """VGGT preprocessing: center-pad to square (white), resize to
-    ``out_size``, normalize (reference ``VGGT/onnx2trt.py:80-110``)."""
+    ``out_size``, normalize (reference ``VGGT/onnx2trt.py:80-110``).
+
+    The reference resizes square->1024 then bilinearly 1024->518; this
+    resizes directly to ``out_size`` (one resampling instead of two —
+    differences are sub-1e-3 in image units and below the depth parity bar).
+    """
     h, w = img_u8.shape[-3], img_u8.shape[-2]
     top, left, side = pad_square_size(h, w)
     x = to_float_rgb(img_u8, bgr=bgr)
