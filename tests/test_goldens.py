@@ -47,3 +47,18 @@ def test_da_v2_tiny_matches_golden():
     err = np.max(np.abs(depth - golden))
     # reference parity bar is 1e-2 (BASELINE.json); regression bar is tighter
     assert err < 1e-3, f"golden drift {err:.2e}"
+
+
+def test_raft_tiny_matches_golden():
+    from monocular_depth_estimation_trt_tpu.models.flow.raft import RAFT
+
+    model = RAFT(iters=2, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    i1 = jnp.asarray(rng.integers(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.integers(0, 255, (1, 64, 96, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), i1, i2)["params"]
+    low, up = model.apply({"params": params}, i1, i2)
+    g = np.load(os.path.join(GOLDEN_DIR, "raft_tiny_seed3.npz"))
+    scale = max(np.max(np.abs(g["flow_up"])), 1e-3)
+    assert np.max(np.abs(np.asarray(low) - g["flow_low"])) / scale < 1e-3
+    assert np.max(np.abs(np.asarray(up) - g["flow_up"])) / scale < 1e-3
