@@ -11,6 +11,11 @@ Architecture (NeuFlow v2, Zhang et al.): a light conv backbone to 1/8 and
 refinement at 1/16 then 1/8 with small conv GRUs; learned 8x convex
 upsampling. Implemented on the shared flow component library — correlation
 window lookups use the separable MXU formulation (``ops/flow_sampler``).
+
+Fidelity note: this follows the paper's stage structure but with a thinner
+backbone/refiner than the exact upstream config, so its benchmark numbers
+overstate the speedup relative to a weight-exact port — compare against the
+RAFT family (3–4x) for the architecture-matched picture.
 """
 
 from __future__ import annotations

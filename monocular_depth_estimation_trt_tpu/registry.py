@@ -798,7 +798,6 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
             self.pipe = pipe
             self._frames = []  # device frames (resized model inputs)
             self._cache = None
-            ex_frame = jax.ShapeDtypeStruct((*in_hw, 3), jnp.uint8)
 
             def cached_forward(p, f1, f2, f3, c1, c2):
                 x = jnp.stack([f1, f2, f3], axis=0).astype(jnp.float32)[None]

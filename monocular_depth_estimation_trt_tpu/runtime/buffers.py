@@ -89,6 +89,18 @@ class DeviceBuffer:
         np.copyto(self._host, np.asarray(self._device_arr))
         return self._host
 
+    def free(self) -> None:
+        """Release the device allocation (``free_buffers`` parity,
+        reference ``common_runtime.py:147-152``; dropping the reference is
+        equivalent — jax reclaims HBM on GC — but explicit delete is
+        immediate)."""
+        if self._device_arr is not None:
+            try:
+                self._device_arr.delete()
+            except Exception:
+                pass
+            self._device_arr = None
+
 
 class IOBinding:
     """Named input/output buffer set for one engine.
@@ -127,3 +139,8 @@ class IOBinding:
         for name, buf in self.outputs.items():
             out[name] = buf.d2h()
         return out
+
+    def free(self) -> None:
+        """``free_buffers`` parity (reference ``common_runtime.py:147-152``)."""
+        for b in list(self.inputs.values()) + list(self.outputs.values()):
+            b.free()

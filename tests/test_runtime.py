@@ -50,6 +50,10 @@ def test_io_binding_run(rng):
     eng = Engine(lambda x: x * 3.0, (jnp.zeros((1, 4)),), name="test_engine_io")
     out = binding.run(eng)
     assert np.allclose(out["output"], binding.inputs["input"].host * 3.0)
+    # free_buffers parity: device allocations released, host mirror intact
+    binding.free()
+    assert binding.inputs["input"]._device_arr is None
+    assert binding.inputs["input"].host.shape == (1, 4)
 
 
 def test_device_pipeline_chaining():
