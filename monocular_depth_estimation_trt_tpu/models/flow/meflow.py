@@ -135,12 +135,54 @@ class Window1DAttention(nn.Module):
         return jnp.einsum("bhwt,bhwtc->bhwc", p, v_win)
 
 
+class _MeFlowStep(nn.Module):
+    """One scanned refinement pair: a horizontal-correlation update followed
+    by a vertical one (MeFlow alternates directions per iteration).
+
+    carry = (net, flow); consts = (pyr_h, pyr_v, inp, coords0).
+    """
+
+    dim: int = 128
+    radius: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        net, flow = carry
+        pyr_h, pyr_v, inp, coords0 = consts
+
+        gru = SepConvGRU(self.dim, self.dtype, name="gru")
+        corr_enc = nn.Conv(96, (1, 1), dtype=self.dtype, name="corr_enc")
+        inp_proj = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="inp_proj")
+        flow_head1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="fh1")
+        flow_head2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="fh2")
+
+        for horizontal, pyr in ((True, pyr_h), (False, pyr_v)):
+            corr = meflow_corr(pyr, coords0 + flow, self.radius, horizontal)
+            x = jnp.concatenate(
+                [corr_enc(corr.astype(self.dtype)), inp, flow.astype(self.dtype)],
+                axis=-1,
+            )
+            net = gru(net, inp_proj(x))
+            delta = flow_head2(nn.relu(flow_head1(net))).astype(jnp.float32)
+            flow = flow + delta
+        return (net, flow), None
+
+
 class MeFlow(nn.Module):
-    """Returns (flow_low (B,H/8,W/8,2), flow_up (B,H,W,2))."""
+    """Returns (flow_low (B,H/8,W/8,2), flow_up (B,H,W,2)).
+
+    ``use_scan`` trades throughput for compile time: the scanned loop builds
+    in seconds but runs ~122 FPS; the unrolled loop builds in ~9 min (once —
+    the persistent cache keeps it) and runs ~178 FPS (XLA specializes and
+    pipelines across iterations). Default: unrolled, like the reference's
+    unrolled ONNX graph (whose TRT build took 197 min, MeFlow/README.md:84).
+    """
 
     iters: int = 20
     dim: int = 128
     radius: int = 4
+    use_scan: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -178,25 +220,22 @@ class MeFlow(nn.Module):
         coords0 = coords_grid(b, h8, w8)
         flow = jnp.zeros_like(coords0)
 
-        gru = SepConvGRU(self.dim, self.dtype, name="gru")
-        corr_enc = nn.Conv(96, (1, 1), dtype=self.dtype, name="corr_enc")
-        inp_proj = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="inp_proj")
-        flow_head1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="fh1")
-        flow_head2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="fh2")
         mask_head = nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask")
-
-        for it in range(self.iters):
-            horizontal = it % 2 == 0
-            pyr = pyr_h if horizontal else pyr_v
-            corr = meflow_corr(pyr, coords0 + flow, self.radius, horizontal)
-            x = jnp.concatenate(
-                [corr_enc(corr.astype(self.dtype)), inp, flow.astype(self.dtype)],
-                axis=-1,
-            )
-            x = inp_proj(x)
-            net = gru(net, x)
-            delta = flow_head2(nn.relu(flow_head1(net))).astype(jnp.float32)
-            flow = flow + delta
+        n_pairs = max(self.iters // 2, 1)
+        if self.use_scan:
+            scan_step = nn.scan(
+                _MeFlowStep,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,
+                out_axes=0,
+                length=n_pairs,
+            )(self.dim, self.radius, self.dtype, name="step")
+            (net, flow), _ = scan_step((net, flow), (pyr_h, pyr_v, inp, coords0))
+        else:
+            step = _MeFlowStep(self.dim, self.radius, self.dtype, name="step")
+            for _ in range(n_pairs):
+                (net, flow), _ = step((net, flow), (pyr_h, pyr_v, inp, coords0))
 
         mask = 0.25 * mask_head(net).astype(jnp.float32)
         flow_up = upsample_flow_convex(flow, mask)

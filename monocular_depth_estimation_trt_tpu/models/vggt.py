@@ -111,7 +111,7 @@ class RopeAttention(nn.Module):
         q = rotate(q)
         k = rotate(k)
 
-        if jax.default_backend() == "tpu" and self.num_heads >= 12:
+        if jax.default_backend() == "tpu" and self.num_heads >= 12 and n >= 1024:
             from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
                 flash_attention,
             )

@@ -90,13 +90,16 @@ class Attention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # Measured on v5e at N=1370 (both with the unpadded-d kernel):
-            # ViT-S (6 heads):  XLA 2.06 ms vs flash 3.01 ms  -> XLA
-            # ViT-L (16 heads): XLA 15.35 ms vs flash 13.17 ms -> flash
-            # The Pallas kernel amortizes better with more (batch*head)
-            # programs; pick it for the wide models.
+            # Measured on v5e (unpadded-d kernel):
+            # ViT-S @N=1370 (6 heads):   XLA 2.06 ms vs flash 3.01 ms -> XLA
+            # ViT-L @N=1370 (16 heads):  XLA 15.4 ms vs flash 13.2 ms -> flash
+            # ViT-L @N=577 (Depth Pro):  XLA 173 ms vs flash 189 ms   -> XLA
+            # The Pallas kernel wins when the score matrix is large (long
+            # sequences) on wide models; XLA's fusion wins on short/narrow.
             use_flash = (
-                jax.default_backend() == "tpu" and self.num_heads >= 12
+                jax.default_backend() == "tpu"
+                and self.num_heads >= 12
+                and n >= 1024
             )
             impl = "flash" if use_flash else "xla"
         if impl == "flash":

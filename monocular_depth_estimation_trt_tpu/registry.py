@@ -681,9 +681,11 @@ def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
 
 @register("meflow")
 def meflow(iters: int = 20, input_hw: tuple = (288, 512),
-           precision: str = "bf16", params: Any = None, **kw) -> "FlowPipeline":
+           precision: str = "bf16", params: Any = None,
+           use_scan: bool = False, **kw) -> "FlowPipeline":
     """MeFlow memory-efficient flow via alternating 1D correlations
-    (reference ``MeFlow/``)."""
+    (reference ``MeFlow/``). ``use_scan=True`` compiles in seconds at ~0.7x
+    throughput (see the model docstring)."""
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
@@ -693,8 +695,9 @@ def meflow(iters: int = 20, input_hw: tuple = (288, 512),
     from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     spec = ModelSpec(model="meflow", input_hw=tuple(input_hw),
-                     precision=precision, extra=(("iters", iters),))
-    model = MeFlow(iters=iters, dtype=compute_dtype(precision))
+                     precision=precision,
+                     extra=(("iters", iters),) + ((("scan", 1),) if use_scan else ()))
+    model = MeFlow(iters=iters, use_scan=use_scan, dtype=compute_dtype(precision))
 
     def forward(p, img1_u8, img2_u8, in_hw=tuple(input_hw)):
         x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
