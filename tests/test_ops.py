@@ -60,10 +60,14 @@ def test_preprocess_lower_bound_matches_reference(rng, hw):
     assert np.max(np.abs(ours - ref)) < 1e-3
 
 
-def test_preprocess_pad_square_shape(rng):
+def test_preprocess_pad_square_shape_and_padding(rng):
     img = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
     out = np.asarray(preprocess_pad_square(jnp.asarray(img), 518))
     assert out.shape == (1, 518, 518, 3)
+    # white padding (value 1.0 pre-normalize) lands at the top/bottom bands
+    # for a landscape image; check the very first row equals normalized white
+    white = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+    assert np.allclose(out[0, 0, 259], white, atol=1e-2)
 
 
 def test_preprocess_keep_ratio_pad(rng):
