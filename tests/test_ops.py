@@ -152,6 +152,24 @@ def test_fov_to_focal_and_canonical():
     assert np.allclose(np.asarray(depth), ref, atol=1e-4)
 
 
+def test_extrinsics_from_quat_matches_scipy(rng):
+    from scipy.spatial.transform import Rotation
+
+    for _ in range(5):
+        q = rng.standard_normal(4)
+        q = q / np.linalg.norm(q)
+        t = rng.standard_normal(3).astype(np.float32)
+        E = np.asarray(
+            extrinsics_from_quat_trans(
+                jnp.asarray(q.astype(np.float32)), jnp.asarray(t)
+            )
+        )
+        # ours takes (w, x, y, z); scipy takes (x, y, z, w)
+        R_ref = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        assert np.allclose(E[:, :3], R_ref, atol=1e-5)
+        assert np.allclose(E[:, 3], t, atol=1e-6)
+
+
 def test_extrinsics_from_quat_identity():
     E = np.asarray(
         extrinsics_from_quat_trans(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([1.0, 2, 3]))
