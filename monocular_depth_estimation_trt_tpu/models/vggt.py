@@ -32,7 +32,7 @@ the one model in the zoo where multi-chip tensor parallelism pays off.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,12 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from monocular_depth_estimation_trt_tpu.models.dpt import DPTHead
-from monocular_depth_estimation_trt_tpu.models.vit import (
-    DinoViT,
-    LayerScale,
-    Mlp,
-    ViTConfig,
-)
+from monocular_depth_estimation_trt_tpu.models.vit import DinoViT, LayerScale, Mlp
 
 
 def rope_2d_freqs(ph: int, pw: int, head_dim: int, base: float = 100.0):

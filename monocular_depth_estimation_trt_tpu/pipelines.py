@@ -14,7 +14,6 @@ and abandoned, ``Depth_Anything_V2/onnx_export.py:35``).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -178,8 +177,6 @@ class DepthPipeline:
         H2D/D2H costs so nothing is hidden.
         """
         import time as _time
-
-        import jax as _jax
 
         eng = self.engine_for(in_hw, False)
         eng.compile()

@@ -26,7 +26,6 @@ from monocular_depth_estimation_trt_tpu.pipelines import (
     DepthPipeline,
     depth_forward_factory,
 )
-from monocular_depth_estimation_trt_tpu.utils.logging import log
 
 _REGISTRY: Dict[str, Callable] = {}
 
