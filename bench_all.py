@@ -46,12 +46,19 @@ def main() -> None:
     args = ap.parse_args()
 
     from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
-    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.registry import (
+        build_pipeline,
+        get_fidelity,
+    )
     from monocular_depth_estimation_trt_tpu.runtime.cache import (
         enable_persistent_cache,
     )
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        set_allow_random_weights,
+    )
 
     enable_persistent_cache()
+    set_allow_random_weights(True)  # benchmark-only path; WARNed per model
     subset = {s for s in args.models.split(",") if s}
     cfg = BenchmarkConfig(warmup=3 if args.quick else 10,
                           iterations=20 if args.quick else 100)
@@ -68,11 +75,14 @@ def main() -> None:
                 rep = pipe.benchmark(config=cfg)
             else:
                 rep = pipe.benchmark(in_hw, cfg)
+            p50 = rep.percentile_ms(50)
             row = {
                 "model": tag,
                 "input_hw": list(in_hw),
                 "fps": round(rep.fps, 2),
                 "avg_ms": round(rep.avg_ms, 2),
+                "latency_p50_ms": round(p50, 2) if p50 is not None else None,
+                "fidelity": get_fidelity(name),
                 "baseline_trt_fps": baseline,
                 "speedup_vs_trt": round(rep.fps / baseline, 2) if baseline else None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),

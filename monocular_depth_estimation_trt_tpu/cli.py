@@ -214,6 +214,12 @@ def cmd_engines(_args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mdet", description=__doc__)
+    p.add_argument(
+        "--allow-random-weights",
+        action="store_true",
+        help="permit deterministic random weights when no checkpoint is "
+        "available (benchmark-only; outputs are not meaningful)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="single-image inference")
@@ -276,11 +282,26 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
+    for sp in (run, flow, video, webcam):
+        # SUPPRESS: don't let the subparser's default clobber the
+        # main-parser flag when given before the subcommand
+        sp.add_argument("--allow-random-weights", action="store_true",
+                        dest="allow_random_weights", default=argparse.SUPPRESS,
+                        help="permit random weights when no checkpoint exists")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "allow_random_weights", False) or args.cmd in ("bench", "build"):
+        # Benchmark/build paths measure FLOPs and layout, not numerics —
+        # random weights are fine there (and loudly WARNed). Everything else
+        # errors on a missing checkpoint unless --allow-random-weights.
+        from monocular_depth_estimation_trt_tpu.weights.store import (
+            set_allow_random_weights,
+        )
+
+        set_allow_random_weights(True)
     return args.fn(args)
 
 

@@ -113,6 +113,9 @@ class BenchmarkConfig:
     warmup: int = 10
     iterations: int = 100
     include_transfers: bool = True  # reference times H2D+exec+D2H per iter
+    # Measured sync-per-iteration latency pass run after pipelined-throughput
+    # timing (real p50/p99 — the reference's per-iter protocol).
+    latency_iterations: int = 10
 
 
 DEFAULT_CACHE_DIR_ENV = "MDET_CACHE_DIR"

@@ -176,7 +176,10 @@ class BasicUpdateBlock(nn.Module):
 class _RefinementStep(nn.Module):
     """One scanned refinement iteration: corr lookup + update block.
 
-    carry = (net, coords1); broadcast consts = (pyramid, inp, coords0).
+    carry = (net, coords1, mask); broadcast consts = (pyramid, inp, coords0).
+    The convex-upsampling mask rides in the carry (only the final iteration's
+    mask is consumed) so the compiled program keeps ONE (B,h,w,576) tensor
+    instead of materializing an iters-stacked copy it would discard.
     """
 
     hidden: int = 128
@@ -185,14 +188,14 @@ class _RefinementStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, consts):
-        net, coords1 = carry
+        net, coords1, _ = carry
         pyramid, inp, coords0 = consts
         corr = corr_lookup(pyramid, coords1, self.radius).astype(self.dtype)
         flow = coords1 - coords0
         net, mask, delta = BasicUpdateBlock(self.hidden, self.dtype,
                                             name="block")(net, inp, corr, flow)
         coords1 = coords1 + delta
-        return (net, coords1), mask
+        return (net, coords1, mask), None
 
 
 def coords_grid(b: int, h: int, w: int, dtype=jnp.float32) -> jax.Array:
@@ -264,10 +267,11 @@ class RAFT(nn.Module):
             length=self.iters,
         )(self.hidden_dim, self.corr_radius, self.dtype, name="update_block")
 
-        (net, coords1), masks = scan_update(
-            (net0, coords0), (pyramid, inp, coords0)
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
+        (net, coords1, mask), _ = scan_update(
+            (net0, coords0, mask0), (pyramid, inp, coords0)
         )
 
         flow_low = coords1 - coords0
-        flow_up = upsample_flow_convex(flow_low, masks[-1])
+        flow_up = upsample_flow_convex(flow_low, mask)
         return flow_low, flow_up

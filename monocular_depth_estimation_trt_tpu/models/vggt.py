@@ -4,7 +4,8 @@ Reference serving contract (``VGGT/onnx_export2.py``, ``onnx2trt2.py``):
 input (B, S, 518, 518, 3) normalized views; a ~1B-param aggregator produces
 ``aggregated_tokens_list`` — per-layer tokens (L_sel, B, S, 1374, 2048) — that
 feed a DPT depth head (depth + confidence per view) and a camera head
-(``pose_enc`` = [tx ty tz, qw qx qy qz, fov_h fov_w] per view). The reference
+(``pose_enc`` = [tx ty tz, qx qy qz qw, fov_h fov_w] per view — quaternion is
+scalar-LAST, matching upstream VGGT's ``quat_to_mat`` XYZW convention). The reference
 chains three TRT engines with device-to-device copies
 (``onnx2trt2.py:155-208``); here the stages are jitted functions sharing
 device-resident arrays (``runtime/pipeline.py``), or one fused program.
@@ -151,6 +152,9 @@ class VGGTConfig:
     num_register_tokens: int = 4
     head_layers: Tuple[int, ...] = (4, 11, 17, 23)
     encoder: str = "vitl"  # DINOv2 patch-feature extractor
+    # Explicit ViT override for tiny test/dryrun configs (avoids mutating the
+    # global VIT_CONFIGS table); None -> VIT_CONFIGS[encoder].
+    vit_config: Any = None
 
 
 class Aggregator(nn.Module):
@@ -172,9 +176,10 @@ class Aggregator(nn.Module):
         # DINOv2 patch features (the VGGT patch embed is a full DINOv2 ViT)
         from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
 
+        vit_cfg = c.vit_config or VIT_CONFIGS[c.encoder]
         feats = DinoViT(
-            VIT_CONFIGS[c.encoder],
-            out_indices=(VIT_CONFIGS[c.encoder].depth - 1,),
+            vit_cfg,
+            out_indices=(vit_cfg.depth - 1,),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="patch_embed",
@@ -230,7 +235,8 @@ class Aggregator(nn.Module):
 
 class CameraHead(nn.Module):
     """Camera-token trunk -> pose encoding (B, S, 9):
-    [tx ty tz, qw qx qy qz, fov_h fov_w] (reference ``onnx2trt2.py:240``)."""
+    [tx ty tz, qx qy qz qw, fov_h fov_w] — quaternion scalar-last (upstream
+    VGGT ``quat_to_mat`` XYZW; reference ``onnx2trt2.py:240``)."""
 
     dim: int = 2048
     trunk_depth: int = 4

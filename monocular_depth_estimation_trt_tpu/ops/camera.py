@@ -186,9 +186,14 @@ def recover_focal_shift(
 
 
 def extrinsics_from_quat_trans(quat: jax.Array, trans: jax.Array) -> jax.Array:
-    """(w, x, y, z) quaternion + translation -> (3, 4) world-to-cam matrix
-    (VGGT pose-encoding decode, reference ``VGGT/onnx2trt2.py:240-243``)."""
-    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    """(x, y, z, w) quaternion + translation -> (3, 4) world-to-cam matrix
+    (VGGT pose-encoding decode, reference ``VGGT/onnx2trt2.py:240-243``).
+
+    Scalar-LAST (XYZW) to match upstream VGGT's ``quat_to_mat`` (used by
+    ``pose_encoding_to_extri_intri``): the real part is ``pose_enc[6]`` and
+    the imaginary parts are ``pose_enc[3:6]``. Matches
+    ``scipy.spatial.transform.Rotation.from_quat`` ordering."""
+    x, y, z, w = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
     n = w * w + x * x + y * y + z * z
     s = jnp.where(n > 0, 2.0 / jnp.maximum(n, 1e-12), 0.0)
     wx, wy, wz = s * w * x, s * w * y, s * w * z

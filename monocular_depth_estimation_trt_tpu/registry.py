@@ -29,13 +29,33 @@ from monocular_depth_estimation_trt_tpu.pipelines import (
 
 _REGISTRY: Dict[str, Callable] = {}
 
+# Fidelity tiers (honest labeling for benchmark/parity tables):
+#   converter-verified  — torch->flax weight converter exists and a
+#                         torch-mirror parity test gates the architecture;
+#   architecture-matched — layer topology matches upstream (a real checkpoint
+#                         would load via an existing converter pattern) but no
+#                         end-to-end torch-mirror parity test yet;
+#   approximated        — contract-faithful stand-in (same I/O + pre/post),
+#                         internal architecture simplified; speedups vs the
+#                         reference TRT baseline partly reflect the slimmer
+#                         network.
+_FIDELITY: Dict[str, str] = {}
 
-def register(name: str):
+
+def register(name: str, fidelity: str = "approximated"):
+    assert fidelity in ("converter-verified", "architecture-matched",
+                        "approximated")
+
     def deco(fn):
         _REGISTRY[name] = fn
+        _FIDELITY[name] = fidelity
         return fn
 
     return deco
+
+
+def get_fidelity(name: str) -> str:
+    return _FIDELITY.get(name, "approximated")
 
 
 def list_models():
@@ -142,12 +162,12 @@ def _build_da_family(
     )
 
 
-@register("depth_anything_v2")
+@register("depth_anything_v2", fidelity="converter-verified")
 def depth_anything_v2(encoder: str = "vits", **kw) -> DepthPipeline:
     return _build_da_family("depth_anything_v2", encoder, **kw)
 
 
-@register("distill_any_depth")
+@register("distill_any_depth", fidelity="converter-verified")
 def distill_any_depth(encoder: str = "vits", **kw) -> DepthPipeline:
     """Distilled DA-V2 (reference ``Distill_Any_Depth/``): same architecture,
     safetensors checkpoints, keep_aspect_ratio=False preprocessing — which our
@@ -155,7 +175,7 @@ def distill_any_depth(encoder: str = "vits", **kw) -> DepthPipeline:
     return _build_da_family("distill_any_depth", encoder, **kw)
 
 
-@register("depth_anything_ac")
+@register("depth_anything_ac", fidelity="architecture-matched")
 def depth_anything_ac(encoder: str = "vits", **kw) -> DepthPipeline:
     """DA-V2 variant robust to adverse conditions (reference
     ``Depth_Anything_AC/``); identical serving graph."""
@@ -604,7 +624,7 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
 # ---------------------------------------------------------------------------
 
 
-@register("raft")
+@register("raft", fidelity="converter-verified")
 def raft(
     iters: int = 20,
     input_hw: tuple = (288, 512),

@@ -29,6 +29,12 @@ class BenchmarkReport:
     times: List[float]
     h2d_ms: Optional[float] = None
     d2h_ms: Optional[float] = None
+    mode: str = "sync"
+    # Real per-iteration sync-mode latencies from a separate measured pass
+    # (pipelined throughput mode has no honest per-iter timestamps — the N
+    # dispatches share one terminal sync, so percentiles are only reported
+    # from measured sync iterations, never fabricated from total/N).
+    latency_times: Optional[List[float]] = None
 
     @property
     def avg_seconds(self) -> float:
@@ -42,14 +48,29 @@ class BenchmarkReport:
     def avg_ms(self) -> float:
         return self.avg_seconds * 1000.0
 
-    def percentile_ms(self, q: float) -> float:
-        return float(np.percentile(np.asarray(self.times), q) * 1000.0)
+    def _measured_times(self) -> Optional[List[float]]:
+        if self.mode == "sync" and self.times:
+            return self.times
+        return self.latency_times or None
+
+    def percentile_ms(self, q: float) -> Optional[float]:
+        ts = self._measured_times()
+        if not ts:
+            return None
+        return float(np.percentile(np.asarray(ts), q) * 1000.0)
 
     def print(self) -> None:
         """Reference-format report (``onnx2trt.py:214-217``)."""
         log(f"{self.iterations} iterations time: {self.total_seconds:.4f} [sec]")
         log(f"Average FPS: {self.fps:.2f} [fps]")
         log(f"Average inference time: {self.avg_ms:.2f} [msec]")
+        p50 = self.percentile_ms(50)
+        if self.mode == "pipelined" and p50 is not None:
+            log(
+                f"sync-mode latency: p50 {p50:.2f} / p99 "
+                f"{self.percentile_ms(99):.2f} [msec] "
+                f"({len(self.latency_times)} measured iterations)"
+            )
 
     def to_dict(self):
         return {
@@ -58,6 +79,7 @@ class BenchmarkReport:
             "total_seconds": self.total_seconds,
             "fps": self.fps,
             "avg_ms": self.avg_ms,
+            "mode": self.mode,
             "p50_ms": self.percentile_ms(50),
             "p99_ms": self.percentile_ms(99),
             "h2d_ms": self.h2d_ms,
@@ -161,7 +183,24 @@ def benchmark(
                 out = dispatch()
             fetch(out)
             total = time.perf_counter() - begin
-        times = [total / config.iterations] * config.iterations
+        # Separate measured latency pass: real sync-per-iteration timings
+        # (the reference's protocol, onnx2trt.py:200-204) so p50/p99 are
+        # measured, never synthesized from total/N. On a remote tunnel this
+        # includes the link RTT — labeled as sync-mode latency in the report.
+        latency_times: List[float] = []
+        for _ in range(min(getattr(config, "latency_iterations", 10),
+                           config.iterations)):
+            begin = time.perf_counter()
+            fetch(dispatch())
+            latency_times.append(time.perf_counter() - begin)
+        return BenchmarkReport(
+            name=name,
+            iterations=config.iterations,
+            total_seconds=total,
+            times=[],
+            mode="pipelined",
+            latency_times=latency_times,
+        )
     else:
         total = 0.0
         for _ in range(config.iterations):
@@ -172,6 +211,7 @@ def benchmark(
             total += dt
 
     report = BenchmarkReport(
-        name=name, iterations=config.iterations, total_seconds=total, times=times
+        name=name, iterations=config.iterations, total_seconds=total, times=times,
+        mode="sync",
     )
     return report

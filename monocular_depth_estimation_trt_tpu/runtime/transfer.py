@@ -25,10 +25,13 @@ def _concat_fn(n: int):
     return jax.jit(lambda *xs: jnp.concatenate(xs, axis=0))
 
 
-@functools.lru_cache(maxsize=64)
-def _slice_fn(start: int, size: int):
+@functools.lru_cache(maxsize=32)
+def _slice_fn(size: int):
+    # ``start`` is a traced argument so ONE compiled program serves every
+    # chunk offset — keying the cache on (start, size) re-jitted per chunk
+    # on >64-chunk arrays, and each compile is expensive over the tunnel.
     return jax.jit(
-        lambda x: jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
+        lambda x, start: jax.lax.dynamic_slice_in_dim(x, start, size, axis=0)
     )
 
 
@@ -48,7 +51,7 @@ def device_get_chunked(
     parts = []
     for i in range(0, n, rows):
         size = min(rows, n - i)
-        parts.append(np.asarray(_slice_fn(i, size)(arr)))
+        parts.append(np.asarray(_slice_fn(size)(arr, i)))
     return np.concatenate(parts, axis=0)
 
 

@@ -10,11 +10,15 @@ weights.
 When no checkpoint is available (e.g. benchmarking on a machine without the
 upstream weights), :func:`init_random_params` provides deterministic random
 parameters with the correct structure — numerics change, FLOPs and layout do
-not, so performance numbers are identical.
+not, so performance numbers are identical. Falling back to random weights is
+an **error by default** in production paths: enable it explicitly with
+``--allow-random-weights`` (CLI), :func:`set_allow_random_weights`, or the
+``allow_random`` argument (benchmark tools do this for you).
 """
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Any, Callable, Optional
 
@@ -24,6 +28,31 @@ import numpy as np
 
 from monocular_depth_estimation_trt_tpu.config import cache_dir
 from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+
+_ALLOW_RANDOM_DEFAULT = False
+
+
+def set_allow_random_weights(allow: bool) -> None:
+    """Process-wide default for the random-weights fallback policy."""
+    global _ALLOW_RANDOM_DEFAULT
+    _ALLOW_RANDOM_DEFAULT = bool(allow)
+
+
+@contextlib.contextmanager
+def allow_random_weights(allow: bool = True):
+    """Scoped override of the random-weights fallback policy."""
+    global _ALLOW_RANDOM_DEFAULT
+    prev = _ALLOW_RANDOM_DEFAULT
+    _ALLOW_RANDOM_DEFAULT = bool(allow)
+    try:
+        yield
+    finally:
+        _ALLOW_RANDOM_DEFAULT = prev
+
+
+class MissingCheckpointError(FileNotFoundError):
+    """No converted params cached and no torch checkpoint to convert."""
 
 
 def _params_dir(name: str) -> str:
@@ -79,12 +108,17 @@ def get_or_convert_params(
     torch_ckpt: Optional[str] = None,
     converter: Optional[Callable] = None,
     seed: int = 0,
+    allow_random: Optional[bool] = None,
 ) -> Any:
     """Resolve parameters with the cache-then-convert-then-random policy.
 
     1. cached Orbax params under ``name``;
     2. else convert ``torch_ckpt`` with ``converter`` and cache;
-    3. else deterministic random init (benchmark-only mode; logged loudly).
+    3. else deterministic random init (benchmark-only mode; logged loudly) —
+       but only if allowed (``allow_random`` arg, else the process policy set
+       by :func:`set_allow_random_weights`); the production default raises
+       :class:`MissingCheckpointError` so a mistyped checkpoint path can't
+       silently produce garbage depth maps.
     """
     variables = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), *_as_args(example_input)
@@ -112,6 +146,18 @@ def get_or_convert_params(
         save_params(name, params)
         return params
 
+    if torch_ckpt and not os.path.exists(torch_ckpt):
+        raise MissingCheckpointError(
+            f"checkpoint path {torch_ckpt!r} does not exist (model {name!r})"
+        )
+    allowed = _ALLOW_RANDOM_DEFAULT if allow_random is None else allow_random
+    if not allowed:
+        raise MissingCheckpointError(
+            f"no converted params cached for {name!r} and no torch checkpoint "
+            "given. Pass checkpoint=<path> (CLI: --checkpoint), or opt into "
+            "benchmark-only random weights with --allow-random-weights / "
+            "weights.store.set_allow_random_weights(True)."
+        )
     log(
         f"No checkpoint for {name!r}: using deterministic random weights "
         "(outputs are not meaningful; performance is)",

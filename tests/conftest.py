@@ -27,6 +27,15 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np
 import pytest
 
+# Tests exercise structure/shape/perf paths with deterministic random params;
+# production strictness (error on missing checkpoint) has its own test via
+# the allow_random_weights(False) context manager.
+from monocular_depth_estimation_trt_tpu.weights.store import (
+    set_allow_random_weights,
+)
+
+set_allow_random_weights(True)
+
 
 @pytest.fixture
 def rng():

@@ -51,25 +51,21 @@ def test_da_v2_tiny_matches_golden():
 
 def test_vggt_tiny_matches_golden():
     from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
-    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, ViTConfig
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
 
-    orig = VIT_CONFIGS["vits"]
-    VIT_CONFIGS["vits"] = ViTConfig(dim=48, depth=2, num_heads=2,
-                                    pretrain_img_size=70)
-    try:
-        cfg = VGGTConfig(dim=64, depth=2, num_heads=4, head_layers=(0, 1, 0, 1),
-                         encoder="vits")
-        model = VGGT(cfg=cfg, dtype=jnp.float32, attn_impl="xla")
-        rng = np.random.default_rng(9)
-        x = jnp.asarray(rng.standard_normal((1, 1, 70, 70, 3)).astype(np.float32) * 0.3)
-        params = jax.jit(model.init)(jax.random.PRNGKey(2), x)["params"]
-        out = model.apply({"params": params}, x)
-        g = np.load(os.path.join(GOLDEN_DIR, "vggt_tiny_seed2.npz"))
-        scale = max(np.max(np.abs(g["depth"])), 1e-3)
-        assert np.max(np.abs(np.asarray(out["depth"]) - g["depth"])) / scale < 1e-3
-        assert np.max(np.abs(np.asarray(out["pose_enc"]) - g["pose_enc"])) < 1e-3
-    finally:
-        VIT_CONFIGS["vits"] = orig
+    cfg = VGGTConfig(dim=64, depth=2, num_heads=4, head_layers=(0, 1, 0, 1),
+                     encoder="vits",
+                     vit_config=ViTConfig(dim=48, depth=2, num_heads=2,
+                                          pretrain_img_size=70))
+    model = VGGT(cfg=cfg, dtype=jnp.float32, attn_impl="xla")
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 1, 70, 70, 3)).astype(np.float32) * 0.3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), x)["params"]
+    out = model.apply({"params": params}, x)
+    g = np.load(os.path.join(GOLDEN_DIR, "vggt_tiny_seed2.npz"))
+    scale = max(np.max(np.abs(g["depth"])), 1e-3)
+    assert np.max(np.abs(np.asarray(out["depth"]) - g["depth"])) / scale < 1e-3
+    assert np.max(np.abs(np.asarray(out["pose_enc"]) - g["pose_enc"])) < 1e-3
 
 
 def test_raft_tiny_matches_golden():

@@ -164,15 +164,16 @@ def test_extrinsics_from_quat_matches_scipy(rng):
                 jnp.asarray(q.astype(np.float32)), jnp.asarray(t)
             )
         )
-        # ours takes (w, x, y, z); scipy takes (x, y, z, w)
-        R_ref = Rotation.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        # both ours and scipy take scalar-last (x, y, z, w) — the upstream
+        # VGGT quat_to_mat convention
+        R_ref = Rotation.from_quat(q).as_matrix()
         assert np.allclose(E[:, :3], R_ref, atol=1e-5)
         assert np.allclose(E[:, 3], t, atol=1e-6)
 
 
 def test_extrinsics_from_quat_identity():
     E = np.asarray(
-        extrinsics_from_quat_trans(jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([1.0, 2, 3]))
+        extrinsics_from_quat_trans(jnp.asarray([0.0, 0, 0, 1.0]), jnp.asarray([1.0, 2, 3]))
     )
     assert np.allclose(E[:, :3], np.eye(3), atol=1e-6)
     assert np.allclose(E[:, 3], [1, 2, 3])

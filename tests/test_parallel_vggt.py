@@ -14,53 +14,48 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
-from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, ViTConfig
+from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
 from monocular_depth_estimation_trt_tpu.parallel.mesh import get_mesh
 from monocular_depth_estimation_trt_tpu.parallel.sharding import vit_tp_rules
 
 TINY_CFG = VGGTConfig(
     dim=64, depth=2, num_heads=4, num_register_tokens=4, head_layers=(0, 1, 0, 1),
     encoder="vits",
+    vit_config=ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70),
 )
 
 
 def test_vggt_tp_matches_single_device(rng):
-    tiny_vit = ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70)
-    orig = VIT_CONFIGS["vits"]
-    VIT_CONFIGS["vits"] = tiny_vit
-    try:
-        model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla",
-                     with_camera=False)
-        x = jnp.asarray(
-            rng.standard_normal((2, 1, 70, 70, 3)).astype(np.float32) * 0.3
-        )
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])["params"]
-        ref = model.apply({"params": params}, x)
+    model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False)
+    x = jnp.asarray(
+        rng.standard_normal((2, 1, 70, 70, 3)).astype(np.float32) * 0.3
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])["params"]
+    ref = model.apply({"params": params}, x)
 
-        mesh = get_mesh((2, 4), ("data", "model"))
-        rules = vit_tp_rules()
+    mesh = get_mesh((2, 4), ("data", "model"))
+    rules = vit_tp_rules()
 
-        def shard_param(kp, leaf):
-            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-            spec = rules.spec_for(path, getattr(leaf, "ndim", 0))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+    def shard_param(kp, leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        spec = rules.spec_for(path, getattr(leaf, "ndim", 0))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-        sharded = jax.tree_util.tree_map_with_path(shard_param, params)
-        xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None, None)))
+    sharded = jax.tree_util.tree_map_with_path(shard_param, params)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None, None)))
 
-        @jax.jit
-        def fwd(p, v):
-            return model.apply({"params": p}, v)
+    @jax.jit
+    def fwd(p, v):
+        return model.apply({"params": p}, v)
 
-        out = fwd(sharded, xs)
-        assert np.allclose(
-            np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=1e-4
-        )
-        # verify the qkv kernels actually live sharded over 'model'
-        qkv = sharded["aggregator"]["frame_0"]["attn"]["qkv"]["kernel"]
-        assert not qkv.sharding.is_fully_replicated
-    finally:
-        VIT_CONFIGS["vits"] = orig
+    out = fwd(sharded, xs)
+    assert np.allclose(
+        np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=1e-4
+    )
+    # verify the qkv kernels actually live sharded over 'model'
+    qkv = sharded["aggregator"]["frame_0"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
 
 
 def test_batch_call_pipeline(rng):

@@ -12,26 +12,13 @@ from monocular_depth_estimation_trt_tpu.models.vggt import (
     apply_rope,
     rope_2d_freqs,
 )
+from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
 
+TINY_VIT = ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70)
 TINY_CFG = VGGTConfig(
     dim=64, depth=2, num_heads=4, num_register_tokens=4, head_layers=(0, 1, 0, 1),
-    encoder="vits",
+    encoder="vits", vit_config=TINY_VIT,
 )
-
-
-def _tiny_vit_patch(monkeypatch_dict):
-    """Swap the vits preset for a tiny one inside the vggt module's view."""
-    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, ViTConfig
-
-    tiny = ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70)
-    monkeypatch_dict["orig"] = VIT_CONFIGS["vits"]
-    VIT_CONFIGS["vits"] = tiny
-
-
-def _restore_vit(monkeypatch_dict):
-    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
-
-    VIT_CONFIGS["vits"] = monkeypatch_dict["orig"]
 
 
 def test_rope_preserves_norm_and_relative_phase(rng):
@@ -57,25 +44,20 @@ def test_rope_preserves_norm_and_relative_phase(rng):
 
 @pytest.mark.parametrize("s", [1, 2])
 def test_vggt_forward_contract(rng, s):
-    md = {}
-    _tiny_vit_patch(md)
-    try:
-        model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
-        x = jnp.asarray(
-            rng.standard_normal((1, s, 70, 70, 3)).astype(np.float32) * 0.3
-        )
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
-        out = model.apply({"params": params}, x)
-        assert out["depth"].shape == (1, s, 70, 70)
-        assert out["depth_conf"].shape == (1, s, 70, 70)
-        assert out["pose_enc"].shape == (1, s, 9)
-        assert np.isfinite(np.asarray(out["depth"])).all()
-        # quaternion part normalized
-        q = np.asarray(out["pose_enc"])[..., 3:7]
-        assert np.allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
-        assert (np.asarray(out["depth"]) > 0).all()
-    finally:
-        _restore_vit(md)
+    model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
+    x = jnp.asarray(
+        rng.standard_normal((1, s, 70, 70, 3)).astype(np.float32) * 0.3
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out["depth"].shape == (1, s, 70, 70)
+    assert out["depth_conf"].shape == (1, s, 70, 70)
+    assert out["pose_enc"].shape == (1, s, 9)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    # quaternion part normalized
+    q = np.asarray(out["pose_enc"])[..., 3:7]
+    assert np.allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+    assert (np.asarray(out["depth"]) > 0).all()
 
 
 def test_vggt_stage_pipeline_matches_fused(rng):
@@ -83,27 +65,22 @@ def test_vggt_stage_pipeline_matches_fused(rng):
     split, VGGT/onnx2trt2.py:155-208)."""
     from monocular_depth_estimation_trt_tpu.models.vggt import build_stage_pipeline
 
-    md = {}
-    _tiny_vit_patch(md)
-    try:
-        model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
-        x = jnp.asarray(
-            rng.standard_normal((1, 1, 70, 70, 3)).astype(np.float32) * 0.3
-        )
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
-        ref = model.apply({"params": params}, x)
+    model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla")
+    x = jnp.asarray(
+        rng.standard_normal((1, 1, 70, 70, 3)).astype(np.float32) * 0.3
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
 
-        pipe = build_stage_pipeline(params, TINY_CFG, dtype=jnp.float32,
-                                    attn_impl="xla")
-        out = pipe({"views": x}, profile=True)
-        assert np.allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
-                           atol=1e-5)
-        assert np.allclose(np.asarray(out["pose_enc"]),
-                           np.asarray(ref["pose_enc"]), atol=1e-5)
-        assert set(pipe.last_stage_ms) == {"aggregator", "depth_head",
-                                           "camera_head"}
-    finally:
-        _restore_vit(md)
+    pipe = build_stage_pipeline(params, TINY_CFG, dtype=jnp.float32,
+                                attn_impl="xla")
+    out = pipe({"views": x}, profile=True)
+    assert np.allclose(np.asarray(out["depth"]), np.asarray(ref["depth"]),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(out["pose_enc"]),
+                       np.asarray(ref["pose_enc"]), atol=1e-5)
+    assert set(pipe.last_stage_ms) == {"aggregator", "depth_head",
+                                       "camera_head"}
 
 
 def test_vggt_tp_rules_cover_aggregator():
