@@ -14,27 +14,35 @@ student_pointmap IS the MoGe-2 architecture, reference
   re-unprojected points -> metric scaling -> inf-masking (reference
   ``MoGe_2/onnx2trt.py:169-206``), implemented on device in the pipeline.
 
-Architecture: DINOv2 encoder over a 14-multiple grid sized to the token
-budget, DPT-style neck, separate dense heads (points / normal / mask) and a
-cls-token metric-scale head; dense outputs are bilinearly mapped back to the
-requested resolution (the upstream also decodes at the token grid and
-resamples). Weight-level parity requires upstream checkpoints.
+Architecture (reconstruction of the upstream MoGe-2 head — upstream is
+gitignored in the reference; topology rebuilt from the MoGe papers/repo
+structure, with a torch mirror in ``tests/torch_mirror_geometric.py`` fixing
+the state-dict layout for ``weights/convert.py::convert_moge2``):
+
+* ``backbone``: DINOv2 over a 14-multiple grid sized to the token budget;
+  4 intermediate taps.
+* ``head``: per-tap 1x1 projections summed at the patch grid, then three
+  deconv (2x2 stride-2) upsample stages with a residual conv block each
+  (the upstream Head's ``projects`` + ``upsample_blocks``), then branch
+  output stacks for points (3ch, z through exp), normal (3ch, normalized)
+  and mask (1ch, sigmoid), all bilinearly mapped to the requested
+  resolution.
+* ``scale_head``: 2-layer MLP on the cls token -> exp -> metric scale.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
-    HEAD_CONFIGS,
     INTERMEDIATE_LAYER_IDX,
 )
-from monocular_depth_estimation_trt_tpu.models.geometric import DPTNeck
 from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, DinoViT
 from monocular_depth_estimation_trt_tpu.ops.resize import resize
 
@@ -47,6 +55,82 @@ def grid_for_tokens(h: int, w: int, num_tokens: int, patch: int = 14) -> Tuple[i
     return gh, gw
 
 
+class ResidualConvBlock(nn.Module):
+    """relu-conv-relu-conv + skip (the upstream head's residual block)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.relu(x)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        return x + h
+
+
+class MoGeHead(nn.Module):
+    """projects + upsample pyramid + branch outputs (upstream ``head``)."""
+
+    num_levels: int
+    proj_dim: int
+    up_dims: Tuple[int, ...]
+    predict_normal: bool
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, patch_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+        gh, gw = patch_hw
+        x = 0.0
+        for i, (patch_tokens, _cls) in enumerate(feats):
+            t = nn.Dense(self.proj_dim, dtype=self.dtype, name=f"project_{i}")(
+                patch_tokens
+            )
+            x = x + t
+        x = x.reshape(x.shape[0], gh, gw, self.proj_dim)
+
+        from monocular_depth_estimation_trt_tpu.models.dpt import (
+            PixelShuffleUpsample,
+        )
+
+        for j, dim in enumerate(self.up_dims):
+            x = PixelShuffleUpsample(dim, 2, self.dtype,
+                                     name=f"upsample_{j}_deconv")(x)
+            x = ResidualConvBlock(dim, self.dtype, name=f"upsample_{j}_res")(x)
+
+        def branch(name: str, ch: int) -> jax.Array:
+            y = nn.Conv(self.up_dims[-1], (3, 3), padding=1, dtype=self.dtype,
+                        name=f"{name}_conv0")(x)
+            y = nn.relu(y)
+            return nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv1")(y)
+
+        outs = {}
+        points = branch("points", 3).astype(jnp.float32)
+        outs["points"] = points
+        if self.predict_normal:
+            outs["normal"] = branch("normal", 3).astype(jnp.float32)
+        outs["mask"] = branch("mask", 1).astype(jnp.float32)
+
+        # map dense outputs back to the requested resolution
+        def to_out(y):
+            return resize(y, out_hw, method="linear")
+
+        return {k: to_out(v) for k, v in outs.items()}
+
+
+@dataclasses.dataclass(frozen=True)
+class MoGeConfig:
+    """Tiny-config override for tests (avoids global table mutation)."""
+
+    vit_config: Any = None
+    proj_dim: Optional[int] = None
+    up_dims: Optional[Tuple[int, ...]] = None
+    out_indices: Optional[Tuple[int, ...]] = None
+
+
 class MoGe2(nn.Module):
     """Returns dict(points, normal, mask, metric_scale) at input resolution."""
 
@@ -55,11 +139,14 @@ class MoGe2(nn.Module):
     predict_normal: bool = True
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    cfg: MoGeConfig = MoGeConfig()
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        vit_cfg = VIT_CONFIGS[self.encoder]
-        head_cfg = HEAD_CONFIGS[self.encoder]
+        vit_cfg = self.cfg.vit_config or VIT_CONFIGS[self.encoder]
+        out_indices = self.cfg.out_indices or INTERMEDIATE_LAYER_IDX[self.encoder]
+        proj_dim = self.cfg.proj_dim or 512
+        up_dims = self.cfg.up_dims or (256, 128, 64)
         b, H, W, _ = x.shape
         gh, gw = grid_for_tokens(H, W, self.num_tokens, vit_cfg.patch_size)
         # resize to the token grid's pixel resolution (multiple of 14)
@@ -68,42 +155,39 @@ class MoGe2(nn.Module):
 
         feats = DinoViT(
             vit_cfg,
-            out_indices=INTERMEDIATE_LAYER_IDX[self.encoder],
+            out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="backbone",
         )(xin)
 
-        dense = DPTNeck(
-            head_cfg["features"], head_cfg["out_channels"], self.dtype, name="neck"
-        )(feats, (gh, gw))
-        dense = resize(dense, (H, W), method="linear")
+        dense = MoGeHead(
+            num_levels=len(feats),
+            proj_dim=proj_dim,
+            up_dims=tuple(up_dims),
+            predict_normal=self.predict_normal,
+            dtype=self.dtype,
+            name="head",
+        )(feats, (gh, gw), (H, W))
 
-        def head(name, ch):
-            y = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
-                        name=f"{name}_conv0")(dense)
-            y = nn.relu(y)
-            return nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_conv1")(y)
-
-        points = head("points", 3).astype(jnp.float32)
-        # z is predicted through exp to stay positive pre-shift (MoGe uses a
-        # similar positive-depth parametrization)
+        points = dense["points"]
+        # z is predicted through exp to stay positive pre-shift (MoGe's
+        # positive-depth parametrization)
         points = jnp.concatenate(
             [points[..., :2], jnp.exp(jnp.clip(points[..., 2:], -10, 10))], axis=-1
         )
 
         out = {"points": points}
         if self.predict_normal:
-            normal = head("normal", 3).astype(jnp.float32)
+            normal = dense["normal"]
             out["normal"] = normal / jnp.maximum(
                 jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8
             )
-        mask = head("mask", 1).astype(jnp.float32)
-        out["mask"] = jax.nn.sigmoid(mask[..., 0])
+        out["mask"] = jax.nn.sigmoid(dense["mask"][..., 0])
 
         cls_token = feats[-1][1]
         s = nn.Dense(256, dtype=self.dtype, name="scale_fc1")(cls_token)
-        s = nn.gelu(s)
+        s = nn.gelu(s, approximate=False)
         s = nn.Dense(1, dtype=self.dtype, name="scale_fc2")(s)
         out["metric_scale"] = jnp.exp(
             jnp.clip(s[:, 0].astype(jnp.float32), -10, 10)

@@ -301,6 +301,7 @@ def _build_geometric(
     precision: str,
     attn_impl: str,
     params: Any,
+    checkpoint: Optional[str] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
@@ -312,6 +313,7 @@ def _build_geometric(
         to_float_rgb,
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_geometric
     from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     spec = ModelSpec(
@@ -351,28 +353,34 @@ def _build_geometric(
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_geometric, encoder=encoder,
+                                        mode=mode),
+        )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
-@register("unidepth_v2")
+@register("unidepth_v2", fidelity="converter-verified")
 def unidepth_v2(encoder: str = "vitb", input_size: int = 518,
                 precision: str = "bf16", attn_impl: str = "auto",
-                params: Any = None, **kw) -> DepthPipeline:
+                params: Any = None, checkpoint: Optional[str] = None,
+                **kw) -> DepthPipeline:
     """UniDepth V2: metric points + confidence + predicted intrinsics
     (reference ``Uni_Depth_V2/``)."""
     return _build_geometric("unidepth_v2", "unidepth", encoder, input_size,
-                            precision, attn_impl, params)
+                            precision, attn_impl, params, checkpoint)
 
 
-@register("unik3d")
+@register("unik3d", fidelity="converter-verified")
 def unik3d(encoder: str = "vitb", input_size: int = 518,
            precision: str = "bf16", attn_impl: str = "auto",
-           params: Any = None, **kw) -> DepthPipeline:
+           params: Any = None, checkpoint: Optional[str] = None,
+           **kw) -> DepthPipeline:
     """UniK3D: universal-camera 3D — unit rays x distance
     (reference ``UniK3D/``)."""
     return _build_geometric("unik3d", "unik3d", encoder, input_size,
-                            precision, attn_impl, params)
+                            precision, attn_impl, params, checkpoint)
 
 
 @register("metric3d_v2")
@@ -433,11 +441,13 @@ def _build_moge(
     attn_impl: str,
     params: Any,
     predict_normal: bool = True,
+    checkpoint: Optional[str] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
     from monocular_depth_estimation_trt_tpu.models.moge2 import MoGe2
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_moge2
     from monocular_depth_estimation_trt_tpu.ops.camera import (
         normalized_view_plane_uv,
         recover_focal_shift,
@@ -500,24 +510,31 @@ def _build_moge(
 
     example = jnp.zeros((1, *input_hw, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_moge2, encoder=encoder,
+                                        predict_normal=predict_normal),
+        )
     return DepthPipeline(spec, forward, params, viz="none")
 
 
-@register("moge2")
+@register("moge2", fidelity="converter-verified")
 def moge2(encoder: str = "vits", input_hw: tuple = (291, 518),
           num_tokens: int = 1800, precision: str = "bf16",
-          attn_impl: str = "auto", params: Any = None, **kw) -> DepthPipeline:
+          attn_impl: str = "auto", params: Any = None,
+          checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
     """MoGe-2: affine-invariant point map + normal + mask + metric scale
     (reference ``MoGe_2/``)."""
     return _build_moge("moge2", encoder, input_hw, num_tokens, precision,
-                       attn_impl, params, predict_normal=True)
+                       attn_impl, params, predict_normal=True,
+                       checkpoint=checkpoint)
 
 
-@register("metric_anything")
+@register("metric_anything", fidelity="converter-verified")
 def metric_anything(encoder: str = "vitl", input_hw: tuple = (518, 518),
                     num_tokens: int = 3600, precision: str = "bf16",
                     attn_impl: str = "auto", params: Any = None,
+                    checkpoint: Optional[str] = None,
                     **kw) -> DepthPipeline:
     """Metric Anything student_pointmap — MoGe-2 architecture student
     (reference ``Metric_Anything/infer.py:12-14``; num_tokens baked at 3600,

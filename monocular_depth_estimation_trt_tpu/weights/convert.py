@@ -138,6 +138,113 @@ def convert_depth_anything_v2(state_dict: Mapping, encoder: str = "vits") -> Dic
     }
 
 
+def conv1x1_to_dense(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    """torch Conv2d 1x1 (out, in, 1, 1) -> Dense kernel (in, out)."""
+    out = {"kernel": _t(sd[f"{prefix}.weight"])[:, :, 0, 0].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _t(sd[f"{prefix}.bias"])
+    return out
+
+
+def _xattn_block(sd: Mapping, prefix: str, cross: bool = False) -> Dict:
+    """models.geometric.CrossAttentionBlock <- tests/torch_mirror_geometric
+    TorchXAttnBlock layout."""
+    p = {
+        "norm1": layernorm(sd, f"{prefix}.norm1"),
+        "q": linear(sd, f"{prefix}.q"),
+        "kv": linear(sd, f"{prefix}.kv"),
+        "proj": linear(sd, f"{prefix}.proj"),
+        "norm2": layernorm(sd, f"{prefix}.norm2"),
+        "fc1": linear(sd, f"{prefix}.fc1"),
+        "fc2": linear(sd, f"{prefix}.fc2"),
+    }
+    if cross:
+        p["norm_context"] = layernorm(sd, f"{prefix}.norm_context")
+    return p
+
+
+def convert_geometric(state_dict: Mapping, encoder: str = "vitb",
+                      mode: str = "unidepth", depth: Optional[int] = None,
+                      num_taps: int = 4, depth_layers: int = 2) -> Dict:
+    """UniDepth V2 / UniK3D checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_geometric.py::TorchGeometricModel``) -> Flax params
+    for :class:`models.geometric.GeometricDepthModel`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    p: Dict[str, Any] = {
+        "pixel_encoder": convert_dinovit(sd, "pixel_encoder", depth),
+        "adapter_norm": layernorm(sd, "adapter_norm"),
+    }
+    for i in range(num_taps):
+        p[f"adapter_{i}"] = linear(sd, f"adapters.{i}")
+    p["camera"] = {
+        "latents": _t(sd["camera.latents"]),
+        "cross": _xattn_block(sd, "camera.cross", cross=True),
+        "self": _xattn_block(sd, "camera.self_block"),
+        "norm": layernorm(sd, "camera.norm"),
+        "out": linear(sd, "camera.out"),
+    }
+    p["ray_embed"] = {
+        "fc1": linear(sd, "ray_embed.fc1"),
+        "fc2": linear(sd, "ray_embed.fc2"),
+    }
+    dm: Dict[str, Any] = {
+        "norm": layernorm(sd, "depth_module.norm"),
+        "up1": conv_transpose_shuffle(sd, "depth_module.up1"),
+        "conv1": conv2d(sd, "depth_module.conv1"),
+        "up2": conv_transpose_shuffle(sd, "depth_module.up2"),
+        "conv2": conv2d(sd, "depth_module.conv2"),
+        "out": conv2d(sd, "depth_module.out"),
+    }
+    for i in range(depth_layers):
+        dm[f"block_{i}"] = _xattn_block(sd, f"depth_module.blocks.{i}")
+    p["depth_module"] = dm
+    if mode == "unik3d":
+        p["rays_module"] = {
+            "block_0": _xattn_block(sd, "rays_module.block0"),
+            "norm": layernorm(sd, "rays_module.norm"),
+            "out": linear(sd, "rays_module.out"),
+        }
+    return p
+
+
+def convert_moge2(state_dict: Mapping, encoder: str = "vits",
+                  depth: Optional[int] = None, num_taps: int = 4,
+                  num_up: int = 3, predict_normal: bool = True) -> Dict:
+    """MoGe-2 / Metric Anything checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_geometric.py::TorchMoGe2``) -> Flax params for
+    :class:`models.moge2.MoGe2`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    head: Dict[str, Any] = {}
+    for i in range(num_taps):
+        head[f"project_{i}"] = conv1x1_to_dense(sd, f"head.projects.{i}")
+    for j in range(num_up):
+        head[f"upsample_{j}_deconv"] = conv_transpose_shuffle(
+            sd, f"head.upsample_blocks.{j}.0"
+        )
+        head[f"upsample_{j}_res"] = {
+            "conv1": conv2d(sd, f"head.upsample_blocks.{j}.1.conv1"),
+            "conv2": conv2d(sd, f"head.upsample_blocks.{j}.1.conv2"),
+        }
+    branches = ["points", "mask"] + (["normal"] if predict_normal else [])
+    for name in branches:
+        head[f"{name}_conv0"] = conv2d(sd, f"head.{name}_out.0")
+        head[f"{name}_conv1"] = conv2d(sd, f"head.{name}_out.2")
+    return {
+        "backbone": convert_dinovit(sd, "backbone", depth),
+        "head": head,
+        "scale_fc1": linear(sd, "scale_head.0"),
+        "scale_fc2": linear(sd, "scale_head.2"),
+    }
+
+
 def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, np.ndarray]:
     """BatchNorm2d running stats -> inference affine (scale, bias)."""
     gamma = _t(sd[f"{prefix}.weight"])

@@ -31,69 +31,57 @@ def test_recover_focal_shift_synthetic(rng):
 
 def test_geometric_model_contract(rng):
     """Tiny GeometricDepthModel: output shapes + ray geometry."""
-    import dataclasses
-
     import monocular_depth_estimation_trt_tpu.models.geometric as gm
     from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
 
-    tiny = ViTConfig(dim=64, depth=4, num_heads=2, pretrain_img_size=70)
-    orig_vit = gm.VIT_CONFIGS["vits"]
-    orig_head = gm.HEAD_CONFIGS["vits"]
-    orig_idx = gm.INTERMEDIATE_LAYER_IDX["vits"]
-    gm.VIT_CONFIGS["vits"] = tiny
-    gm.HEAD_CONFIGS["vits"] = dict(features=16, out_channels=(8, 16, 32, 32))
-    gm.INTERMEDIATE_LAYER_IDX["vits"] = (0, 1, 2, 3)
-    try:
-        for mode in ("unidepth", "unik3d"):
-            model = gm.GeometricDepthModel(
-                encoder="vits", mode=mode, dtype=jnp.float32, attn_impl="xla"
-            )
-            x = jnp.asarray(rng.standard_normal((1, 70, 70, 3)).astype(np.float32))
-            params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
-            out = model.apply({"params": params}, x)
-            assert out["pts_3d"].shape == (1, 70, 70, 3)
-            assert out["confidence"].shape == (1, 70, 70)
-            assert out["intrinsics"].shape == (1, 3, 3)
-            pts = np.asarray(out["pts_3d"])
-            if mode == "unik3d":
-                # unit rays x distance: |pts| is constant-per-pixel distance
-                K = np.asarray(out["intrinsics"][0])
-                assert np.isfinite(pts).all()
-            else:
-                assert (pts[..., 2] > 0).all()  # z = exp(depth) positive
-    finally:
-        gm.VIT_CONFIGS["vits"] = orig_vit
-        gm.HEAD_CONFIGS["vits"] = orig_head
-        gm.INTERMEDIATE_LAYER_IDX["vits"] = orig_idx
+    cfg = gm.GeometricConfig(
+        vit_config=ViTConfig(dim=64, depth=4, num_heads=2, pretrain_img_size=70),
+        decoder_dim=64,
+        out_indices=(0, 1, 2, 3),
+    )
+    for mode in ("unidepth", "unik3d"):
+        model = gm.GeometricDepthModel(
+            encoder="vits", mode=mode, dtype=jnp.float32, attn_impl="xla",
+            cfg=cfg,
+        )
+        x = jnp.asarray(rng.standard_normal((1, 70, 70, 3)).astype(np.float32))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        out = model.apply({"params": params}, x)
+        assert out["pts_3d"].shape == (1, 70, 70, 3)
+        assert out["confidence"].shape == (1, 70, 70)
+        assert out["intrinsics"].shape == (1, 3, 3)
+        pts = np.asarray(out["pts_3d"])
+        if mode == "unik3d":
+            # unit rays x distance: |pts| = distance, constant per pixel
+            dist = np.linalg.norm(pts, axis=-1)
+            assert np.isfinite(pts).all()
+            assert (dist > 0).all()
+        else:
+            assert (pts[..., 2] > 0).all()  # z = exp(depth) positive
 
 
 def test_moge2_contract(rng):
     import monocular_depth_estimation_trt_tpu.models.moge2 as m2
-    import monocular_depth_estimation_trt_tpu.models.geometric as gm
     from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
 
-    tiny = ViTConfig(dim=64, depth=4, num_heads=2, pretrain_img_size=70)
-    orig = (m2.VIT_CONFIGS["vits"], m2.HEAD_CONFIGS["vits"],
-            m2.INTERMEDIATE_LAYER_IDX["vits"])
-    m2.VIT_CONFIGS["vits"] = tiny
-    m2.HEAD_CONFIGS["vits"] = dict(features=16, out_channels=(8, 16, 32, 32))
-    m2.INTERMEDIATE_LAYER_IDX["vits"] = (0, 1, 2, 3)
-    try:
-        model = m2.MoGe2(encoder="vits", num_tokens=25, dtype=jnp.float32,
-                         attn_impl="xla")
-        x = jnp.asarray(rng.standard_normal((1, 63, 112, 3)).astype(np.float32))
-        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
-        out = model.apply({"params": params}, x)
-        assert out["points"].shape == (1, 63, 112, 3)
-        assert out["normal"].shape == (1, 63, 112, 3)
-        assert out["mask"].shape == (1, 63, 112)
-        assert out["metric_scale"].shape == (1,)
-        n = np.asarray(out["normal"])
-        norms = np.linalg.norm(n, axis=-1)
-        assert np.allclose(norms, 1.0, atol=1e-3)
-    finally:
-        (m2.VIT_CONFIGS["vits"], m2.HEAD_CONFIGS["vits"],
-         m2.INTERMEDIATE_LAYER_IDX["vits"]) = orig
+    cfg = m2.MoGeConfig(
+        vit_config=ViTConfig(dim=64, depth=4, num_heads=2, pretrain_img_size=70),
+        proj_dim=32,
+        up_dims=(16, 16, 8),
+        out_indices=(0, 1, 2, 3),
+    )
+    model = m2.MoGe2(encoder="vits", num_tokens=25, dtype=jnp.float32,
+                     attn_impl="xla", cfg=cfg)
+    x = jnp.asarray(rng.standard_normal((1, 63, 112, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out["points"].shape == (1, 63, 112, 3)
+    assert out["normal"].shape == (1, 63, 112, 3)
+    assert out["mask"].shape == (1, 63, 112)
+    assert out["metric_scale"].shape == (1,)
+    n = np.asarray(out["normal"])
+    norms = np.linalg.norm(n, axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-3)
 
 
 def test_grid_for_tokens():
