@@ -118,6 +118,9 @@ class DPTHead(nn.Module):
     out_channels: Sequence[int] = (48, 96, 192, 384)
     patch_size: int = 14
     final_act: str = "relu"  # "relu" (relative) | "sigmoid" (metric)
+    # >1: emit (B, H, W, C) from the final conv (VGGT's depth head packs
+    # depth + confidence into one 2-channel DPT head, VGGT/onnx_export2.py)
+    num_outputs: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -179,11 +182,14 @@ class DPTHead(nn.Module):
         out = _bilinear_ac(out, (ph * self.patch_size, pw * self.patch_size))
         out = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype, name="output_conv2_0")(out)
         out = nn.relu(out)
-        out = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(out)
+        out = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
+                      name="output_conv2_2")(out)
         if self.final_act == "relu":
             out = nn.relu(out)
         elif self.final_act == "sigmoid":
             out = nn.sigmoid(out)
         elif self.final_act == "none":
             pass
+        if self.num_outputs > 1:
+            return out.astype(jnp.float32)
         return out[..., 0].astype(jnp.float32)

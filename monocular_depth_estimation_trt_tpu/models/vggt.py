@@ -234,46 +234,90 @@ class Aggregator(nn.Module):
 
 
 class CameraHead(nn.Module):
-    """Camera-token trunk -> pose encoding (B, S, 9):
+    """Iterative camera head (upstream VGGT ``camera_head.py`` design):
+    the camera token passes through a trunk of transformer blocks whose
+    input is adaLN-modulated by an embedding of the current pose estimate;
+    each iteration emits a pose delta. Output pose encoding (B, S, 9):
     [tx ty tz, qx qy qz qw, fov_h fov_w] — quaternion scalar-last (upstream
-    VGGT ``quat_to_mat`` XYZW; reference ``onnx2trt2.py:240``)."""
+    VGGT ``quat_to_mat`` XYZW; reference ``onnx2trt2.py:240``); activations
+    trans/quat linear, fov relu (upstream ``activate_pose``). The quaternion
+    is left unnormalized as upstream; ``extrinsics_from_quat_trans``
+    normalizes during decoding."""
 
     dim: int = 2048
     trunk_depth: int = 4
     num_heads: int = 16
+    num_iterations: int = 4
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, tokens: jax.Array) -> jax.Array:
         # tokens: last aggregated layer (B, S, N, 2dim); take camera token
         cam = tokens[:, :, 0]  # (B, S, 2dim)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="input_proj")(cam)
-        for i in range(self.trunk_depth):
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm1_{i}")(x)
-            qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name=f"qkv_{i}")(h)
-            b, s, _ = h.shape
-            hd = self.dim // self.num_heads
-            qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
-            q, k, v = jnp.moveaxis(qkv, 2, 0)
-            att = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32) / np.sqrt(hd)
-            p = jax.nn.softmax(att, axis=-1).astype(v.dtype)
-            o = jnp.einsum("bhst,bthd->bshd", p, v).reshape(b, s, self.dim)
-            x = x + nn.Dense(self.dim, dtype=self.dtype, name=f"proj_{i}")(o)
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm2_{i}")(x)
-            h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name=f"mlp_{i}")(h)
-            x = x + h
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        pose = nn.Dense(9, dtype=self.dtype, name="pose_branch")(x)
-        pose = pose.astype(jnp.float32)
-        # normalize quaternion part
-        t, quat, fov = pose[..., :3], pose[..., 3:7], pose[..., 7:9]
-        quat = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-8)
-        fov = jax.nn.softplus(fov)
+        b, s, _ = cam.shape
+        pose_tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name="token_norm")(cam)
+
+        embed_pose = nn.Dense(self.dim, dtype=self.dtype, name="embed_pose")
+        modulation = nn.Dense(3 * self.dim, dtype=self.dtype,
+                              name="poseLN_modulation")
+        # elementwise_affine=False adaLN norm
+        adaln = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                             dtype=self.dtype, name="adaln_norm")
+
+        def trunk(x):
+            for i in range(self.trunk_depth):
+                h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"trunk_{i}_norm1")(x)
+                qkv = nn.Dense(self.dim * 3, dtype=self.dtype,
+                               name=f"trunk_{i}_qkv")(h)
+                hd = self.dim // self.num_heads
+                q, k, v = jnp.moveaxis(
+                    qkv.reshape(b, s, 3, self.num_heads, hd), 2, 0
+                )
+                att = jnp.einsum("bshd,bthd->bhst", q, k).astype(
+                    jnp.float32
+                ) / np.sqrt(hd)
+                p = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+                o = jnp.einsum("bhst,bthd->bshd", p, v).reshape(b, s, self.dim)
+                o = nn.Dense(self.dim, dtype=self.dtype,
+                             name=f"trunk_{i}_proj")(o)
+                x = x + LayerScale(self.dim, 0.01, dtype=self.dtype,
+                                   name=f"trunk_{i}_ls1")(o)
+                h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"trunk_{i}_norm2")(x)
+                h = Mlp(self.dim, self.dim * 4, dtype=self.dtype,
+                        name=f"trunk_{i}_mlp")(h)
+                x = x + LayerScale(self.dim, 0.01, dtype=self.dtype,
+                                   name=f"trunk_{i}_ls2")(h)
+            return x
+
+        pose_branch_fc1 = nn.Dense(self.dim // 2, dtype=self.dtype,
+                                   name="pose_branch_fc1")
+        pose_branch_fc2 = nn.Dense(9, dtype=self.dtype, name="pose_branch_fc2")
+
+        pred = jnp.zeros((b, s, 9), jnp.float32)
+        for _ in range(self.num_iterations):
+            emb = nn.silu(embed_pose(pred.astype(self.dtype)))
+            shift, scale, gate = jnp.split(modulation(emb), 3, axis=-1)
+            mod = gate * (adaln(pose_tokens) * (1.0 + scale) + shift)
+            x = trunk(pose_tokens + mod)
+            delta = pose_branch_fc2(
+                nn.gelu(pose_branch_fc1(x), approximate=False)
+            ).astype(jnp.float32)
+            pred = pred + delta
+
+        # activate_pose: trans/quat linear, fov relu
+        t, quat, fov = pred[..., :3], pred[..., 3:7], pred[..., 7:9]
+        fov = nn.relu(fov)
         return jnp.concatenate([t, quat, fov], axis=-1)
 
 
 class VGGTDepthHead(nn.Module):
-    """DPT head over aggregated tokens -> (depth, confidence) per view."""
+    """Single DPT head over aggregated tokens -> 2 channels per view:
+    depth (exp activation) + confidence (1 + exp, upstream ``expp1``) —
+    the upstream VGGT depth head packs both into one head
+    (``VGGT/onnx_export2.py:24-26`` output pair)."""
 
     features: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
@@ -282,7 +326,6 @@ class VGGTDepthHead(nn.Module):
     @nn.compact
     def __call__(self, agg_tokens, patch_hw, num_special: int):
         ph, pw = patch_hw
-        outs_d, outs_c = [], []
         # fold (B, S) into batch; drop special tokens
         feats = []
         b, s = agg_tokens[0].shape[:2]
@@ -291,27 +334,17 @@ class VGGTDepthHead(nn.Module):
             feats.append(
                 (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
             )
-        head = DPTHead(
+        out = DPTHead(
             in_channels=feats[0][0].shape[-1],
             features=self.features,
             out_channels=self.out_channels,
             final_act="none",
+            num_outputs=2,
             dtype=self.dtype,
             name="dpt",
-        )
-        # DPTHead emits 1 channel; run a 2-channel variant by a second output
-        # conv on its penultimate features is cleaner, but for head parity we
-        # run the standard head for depth and a sibling conv stack for conf.
-        depth = head(feats, (ph, pw))  # (B*S, H, W)
-        depth = jnp.exp(jnp.clip(depth, -10.0, 10.0))  # positive metric depth
-        conf = DPTHead(
-            in_channels=feats[0][0].shape[-1],
-            features=self.features // 2,
-            out_channels=tuple(cc // 2 for cc in self.out_channels),
-            final_act="sigmoid",
-            dtype=self.dtype,
-            name="conf",
-        )(feats, (ph, pw))
+        )(feats, (ph, pw))  # (B*S, H, W, 2)
+        depth = jnp.exp(jnp.clip(out[..., 0], -10.0, 10.0))
+        conf = 1.0 + jnp.exp(jnp.clip(out[..., 1], -10.0, 10.0))
         H, W = ph * 14, pw * 14
         return (
             depth.reshape(b, s, H, W),

@@ -383,24 +383,28 @@ def unik3d(encoder: str = "vitb", input_size: int = 518,
                             precision, attn_impl, params, checkpoint)
 
 
-@register("metric3d_v2")
+@register("metric3d_v2", fidelity="converter-verified")
 def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
                 attn_impl: str = "auto", params: Any = None,
-                focal: Optional[float] = None, **kw) -> DepthPipeline:
-    """Metric3D V2: canonical-camera metric depth at 616x1064 with keep-ratio
-    mean-pad preprocessing and de-canonical focal scaling
-    (reference ``Metric3D_V2/infer.py:73-125``, ``onnx2trt.py:176-190``)."""
+                focal: Optional[float] = None, iters: int = 4,
+                checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+    """Metric3D V2: canonical-camera metric depth (+ normals) at 616x1064
+    with keep-ratio mean-pad preprocessing and de-canonical focal scaling
+    (reference ``Metric3D_V2/infer.py:73-125``, ``onnx2trt.py:176-190``).
+    Real architecture: DINOv2-reg encoder + RAFT-DPT iterative decoder
+    (``models/metric3d_v2.py``; parity-gated vs the torch mirror)."""
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
-    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
-        DepthAnythingV2,
-    )
+    from monocular_depth_estimation_trt_tpu.models.metric3d_v2 import Metric3DV2
     from monocular_depth_estimation_trt_tpu.ops.postprocess import crop_pad
     from monocular_depth_estimation_trt_tpu.ops.preprocess import (
         preprocess_keep_ratio_pad,
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize_hw
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_metric3d_v2,
+    )
     from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     canvas = (616, 1064)
@@ -408,27 +412,30 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         model="metric3d_v2", encoder=encoder, input_hw=canvas,
         precision=precision, metric=True,
     )
-    # Metric3D v2's ViT-L + decoder predicts canonical metric depth; served
-    # here on our shared ViT+DPT graph with a metric (sigmoid*300) head.
-    model = DepthAnythingV2(
-        encoder=encoder, metric=True, max_depth=300.0,
-        dtype=compute_dtype(precision), attn_impl=attn_impl,
+    model = Metric3DV2(
+        encoder=encoder, iters=iters, dtype=compute_dtype(precision),
+        attn_impl=attn_impl,
     )
 
     def forward(p, img_u8, out_hw):
         x, pad, scale = preprocess_keep_ratio_pad(img_u8, canvas)
-        depth = model.apply({"params": p}, x)  # (1, 616, 1064)
-        depth = crop_pad(depth, pad)
+        out = model.apply({"params": p}, x)
+        depth = crop_pad(out["depth"], pad)
         depth = resize_hw(depth, out_hw, "linear", align_corners=False)[0]
         if focal is not None:
             # de-canonical transform (reference Metric3D_V2/infer.py:107-125)
             depth = depth * (focal * scale / 1000.0)
         depth = jnp.clip(depth, 0.0, 300.0)
-        return {"depth": depth}
+        conf = crop_pad(out["confidence"], pad)
+        conf = resize_hw(conf, out_hw, "linear", align_corners=False)[0]
+        return {"depth": depth, "confidence": conf}
 
     example = jnp.zeros((1, *canvas, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_metric3d_v2, encoder=encoder),
+        )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 

@@ -245,6 +245,57 @@ def convert_moge2(state_dict: Mapping, encoder: str = "vits",
     }
 
 
+def _fusion_block(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "resConfUnit1": {
+            "conv1": conv2d(sd, f"{prefix}.resConfUnit1.conv1"),
+            "conv2": conv2d(sd, f"{prefix}.resConfUnit1.conv2"),
+        },
+        "resConfUnit2": {
+            "conv1": conv2d(sd, f"{prefix}.resConfUnit2.conv1"),
+            "conv2": conv2d(sd, f"{prefix}.resConfUnit2.conv2"),
+        },
+        "out_conv": conv2d(sd, f"{prefix}.out_conv"),
+    }
+
+
+def convert_metric3d_v2(state_dict: Mapping, encoder: str = "vitl",
+                        depth: Optional[int] = None) -> Dict:
+    """Metric3D V2 checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_metric3d.py::TorchMetric3DV2``) -> Flax params for
+    :class:`models.metric3d_v2.Metric3DV2`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    neck: Dict[str, Any] = {}
+    for i in range(4):
+        neck[f"project_{i}"] = conv2d(sd, f"neck.projects.{i}")
+    neck["resize_0"] = conv_transpose_shuffle(sd, "neck.resize_layers.0")
+    neck["resize_1"] = conv_transpose_shuffle(sd, "neck.resize_layers.1")
+    neck["resize_3"] = conv2d(sd, "neck.resize_layers.3")
+    for i in range(1, 5):
+        neck[f"layer{i}_rn"] = conv2d(sd, f"neck.layer{i}_rn")
+    for i in (2, 3, 4):
+        neck[f"refinenet{i}"] = _fusion_block(sd, f"neck.refinenet{i}")
+    return {
+        "encoder": convert_dinovit(sd, "encoder", depth),
+        "neck": neck,
+        "context_conv": conv2d(sd, "context_conv"),
+        "init_head": conv2d(sd, "init_head"),
+        "gru": {
+            "convz": conv2d(sd, "gru.convz"),
+            "convr": conv2d(sd, "gru.convr"),
+            "convq": conv2d(sd, "gru.convq"),
+        },
+        "pred_encoder": conv2d(sd, "pred_encoder"),
+        "delta_head": conv2d(sd, "delta_head"),
+        "mask_head": conv2d(sd, "mask_head"),
+        "conf_head": conv2d(sd, "conf_head"),
+    }
+
+
 def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, np.ndarray]:
     """BatchNorm2d running stats -> inference affine (scale, bias)."""
     gamma = _t(sd[f"{prefix}.weight"])
