@@ -19,12 +19,16 @@ def export_world_points(
     image_rgb: Optional[np.ndarray],
     path: str,
     *,
-    conf_threshold: float = 0.5,
+    conf_threshold: float = 1.5,
     stride: int = 2,
 ) -> str:
     """``out`` is a VGGT pipeline result (depth, depth_conf, pose_enc,
     extrinsic, focal_px). Unprojects depth through the predicted camera into
-    world space and writes a colored ``.ply``."""
+    world space and writes a colored ``.ply``.
+
+    ``depth_conf`` follows the upstream ``expp1`` activation (range
+    [1, inf)); the default threshold 1.5 mirrors the reference's
+    conf-percentile filtering (``VGGT/onnx2trt2.py:274-292``)."""
     depth = jnp.asarray(out["depth"])[::stride, ::stride]
     h, w = depth.shape
     f = float(out["focal_px"]) / stride

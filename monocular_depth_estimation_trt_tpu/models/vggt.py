@@ -155,6 +155,8 @@ class VGGTConfig:
     # Explicit ViT override for tiny test/dryrun configs (avoids mutating the
     # global VIT_CONFIGS table); None -> VIT_CONFIGS[encoder].
     vit_config: Any = None
+    head_features: int = 256
+    head_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
 
 
 class Aggregator(nn.Module):
@@ -265,13 +267,36 @@ class CameraHead(nn.Module):
         adaln = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                              dtype=self.dtype, name="adaln_norm")
 
+        # create every trunk submodule ONCE (names are reused across the
+        # refinement iterations — flax requires single construction)
+        trunk_mods = []
+        for i in range(self.trunk_depth):
+            trunk_mods.append(dict(
+                norm1=nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name=f"trunk_{i}_norm1"),
+                qkv=nn.Dense(self.dim * 3, dtype=self.dtype,
+                             name=f"trunk_{i}_qkv"),
+                proj=nn.Dense(self.dim, dtype=self.dtype,
+                              name=f"trunk_{i}_proj"),
+                ls1=LayerScale(self.dim, 0.01, dtype=self.dtype,
+                               name=f"trunk_{i}_ls1"),
+                norm2=nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                   name=f"trunk_{i}_norm2"),
+                mlp=Mlp(self.dim, self.dim * 4, dtype=self.dtype,
+                        name=f"trunk_{i}_mlp"),
+                ls2=LayerScale(self.dim, 0.01, dtype=self.dtype,
+                               name=f"trunk_{i}_ls2"),
+            ))
+        pose_branch_fc1 = nn.Dense(self.dim // 2, dtype=self.dtype,
+                                   name="pose_branch_fc1")
+        pose_branch_fc2 = nn.Dense(9, dtype=self.dtype, name="pose_branch_fc2")
+
+        hd = self.dim // self.num_heads
+
         def trunk(x):
-            for i in range(self.trunk_depth):
-                h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                 name=f"trunk_{i}_norm1")(x)
-                qkv = nn.Dense(self.dim * 3, dtype=self.dtype,
-                               name=f"trunk_{i}_qkv")(h)
-                hd = self.dim // self.num_heads
+            for m in trunk_mods:
+                h = m["norm1"](x)
+                qkv = m["qkv"](h)
                 q, k, v = jnp.moveaxis(
                     qkv.reshape(b, s, 3, self.num_heads, hd), 2, 0
                 )
@@ -280,21 +305,9 @@ class CameraHead(nn.Module):
                 ) / np.sqrt(hd)
                 p = jax.nn.softmax(att, axis=-1).astype(v.dtype)
                 o = jnp.einsum("bhst,bthd->bshd", p, v).reshape(b, s, self.dim)
-                o = nn.Dense(self.dim, dtype=self.dtype,
-                             name=f"trunk_{i}_proj")(o)
-                x = x + LayerScale(self.dim, 0.01, dtype=self.dtype,
-                                   name=f"trunk_{i}_ls1")(o)
-                h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                 name=f"trunk_{i}_norm2")(x)
-                h = Mlp(self.dim, self.dim * 4, dtype=self.dtype,
-                        name=f"trunk_{i}_mlp")(h)
-                x = x + LayerScale(self.dim, 0.01, dtype=self.dtype,
-                                   name=f"trunk_{i}_ls2")(h)
+                x = x + m["ls1"](m["proj"](o))
+                x = x + m["ls2"](m["mlp"](m["norm2"](x)))
             return x
-
-        pose_branch_fc1 = nn.Dense(self.dim // 2, dtype=self.dtype,
-                                   name="pose_branch_fc1")
-        pose_branch_fc2 = nn.Dense(9, dtype=self.dtype, name="pose_branch_fc2")
 
         pred = jnp.zeros((b, s, 9), jnp.float32)
         for _ in range(self.num_iterations):
@@ -376,8 +389,9 @@ def build_stage_pipeline(
     cfg = cfg or VGGTConfig()
     num_special = 1 + cfg.num_register_tokens
     agg = Aggregator(cfg, dtype, attn_impl)
-    dh = VGGTDepthHead(dtype=dtype)
-    ch = CameraHead(2 * cfg.dim, dtype=dtype)
+    dh = VGGTDepthHead(features=cfg.head_features,
+                       out_channels=cfg.head_out_channels, dtype=dtype)
+    ch = CameraHead(2 * cfg.dim, num_heads=cfg.num_heads, dtype=dtype)
 
     def agg_fn(views):
         outs, _ = agg.apply({"params": params["aggregator"]}, views)
@@ -423,12 +437,15 @@ class VGGT(nn.Module):
         agg, patch_hw = Aggregator(self.cfg, self.dtype, self.attn_impl,
                                    name="aggregator")(views)
         num_special = 1 + self.cfg.num_register_tokens
-        depth, conf = VGGTDepthHead(dtype=self.dtype, name="depth_head")(
-            agg, patch_hw, num_special
-        )
+        depth, conf = VGGTDepthHead(
+            features=self.cfg.head_features,
+            out_channels=self.cfg.head_out_channels,
+            dtype=self.dtype, name="depth_head",
+        )(agg, patch_hw, num_special)
         out = {"depth": depth, "depth_conf": conf}
         if self.with_camera:
             out["pose_enc"] = CameraHead(
-                2 * self.cfg.dim, dtype=self.dtype, name="camera_head"
+                2 * self.cfg.dim, num_heads=self.cfg.num_heads,
+                dtype=self.dtype, name="camera_head",
             )(agg[-1])
         return out

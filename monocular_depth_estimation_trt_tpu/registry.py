@@ -564,11 +564,13 @@ def _build_vggt(
     params: Any,
     vggt_cfg: Any = None,
     with_camera: bool = True,
+    checkpoint: Optional[str] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
     from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_vggt
     from monocular_depth_estimation_trt_tpu.ops.camera import (
         extrinsics_from_quat_trans,
         fov_to_focal,
@@ -619,17 +621,28 @@ def _build_vggt(
 
     example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(
+                convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
+                with_camera=with_camera,
+            ),
+        )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
-@register("vggt")
+@register("vggt", fidelity="converter-verified")
 def vggt(input_size: int = 518, precision: str = "bf16", attn_impl: str = "auto",
-         params: Any = None, depth_only: bool = False, **kw) -> DepthPipeline:
+         params: Any = None, depth_only: bool = False,
+         checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
     """VGGT-1B multi-view geometry transformer (reference ``VGGT/``):
-    aggregator + DPT depth head + camera head, single- or multi-view."""
+    aggregator + single 2-channel DPT depth head + iterative adaLN camera
+    head, single- or multi-view (parity-gated vs the torch mirror)."""
     return _build_vggt("vggt", input_size, precision, attn_impl, params,
-                       with_camera=not depth_only)
+                       with_camera=not depth_only, checkpoint=checkpoint)
 
 
 @register("streamvggt")

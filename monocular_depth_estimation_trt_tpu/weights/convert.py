@@ -296,6 +296,79 @@ def convert_metric3d_v2(state_dict: Mapping, encoder: str = "vitl",
     }
 
 
+def _aa_block(sd: Mapping, prefix: str) -> Dict:
+    """VGGT alternating-attention sub-block (AASubBlock) <- torch mirror."""
+    return {
+        "norm1": layernorm(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": linear(sd, f"{prefix}.attn.qkv"),
+            "proj": linear(sd, f"{prefix}.attn.proj"),
+        },
+        "ls1": {"gamma": _t(sd[f"{prefix}.ls1.gamma"])},
+        "norm2": layernorm(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": linear(sd, f"{prefix}.mlp.fc2"),
+        },
+        "ls2": {"gamma": _t(sd[f"{prefix}.ls2.gamma"])},
+    }
+
+
+def convert_vggt(state_dict: Mapping, vit_depth: int = 24, depth: int = 24,
+                 trunk_depth: int = 4, with_camera: bool = True) -> Dict:
+    """VGGT checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_vggt.py::TorchVGGT``) -> Flax params for
+    :class:`models.vggt.VGGT` (aggregator / depth_head / camera_head)."""
+    sd = state_dict
+    agg: Dict[str, Any] = {
+        "patch_embed": convert_dinovit(sd, "aggregator.patch_embed", vit_depth),
+        "camera_token": _t(sd["aggregator.camera_token"]),
+        "register_tokens": _t(sd["aggregator.register_tokens"]),
+    }
+    if "aggregator.input_proj.weight" in sd:
+        agg["input_proj"] = linear(sd, "aggregator.input_proj")
+    for i in range(depth):
+        agg[f"frame_{i}"] = _aa_block(sd, f"aggregator.frame_blocks.{i}")
+        agg[f"global_{i}"] = _aa_block(sd, f"aggregator.global_blocks.{i}")
+
+    dpt: Dict[str, Any] = {}
+    for i in range(4):
+        dpt[f"project_{i}"] = conv2d(sd, f"depth_head.dpt.projects.{i}")
+    dpt["resize_0"] = conv_transpose_shuffle(sd, "depth_head.dpt.resize_layers.0")
+    dpt["resize_1"] = conv_transpose_shuffle(sd, "depth_head.dpt.resize_layers.1")
+    dpt["resize_3"] = conv2d(sd, "depth_head.dpt.resize_layers.3")
+    for i in range(1, 5):
+        dpt[f"layer{i}_rn"] = conv2d(sd, f"depth_head.dpt.layer{i}_rn")
+        dpt[f"refinenet{i}"] = _fusion_block(sd, f"depth_head.dpt.refinenet{i}")
+    dpt["output_conv1"] = conv2d(sd, "depth_head.dpt.output_conv1")
+    dpt["output_conv2_0"] = conv2d(sd, "depth_head.dpt.output_conv2.0")
+    dpt["output_conv2_2"] = conv2d(sd, "depth_head.dpt.output_conv2.2")
+
+    out = {"aggregator": agg, "depth_head": {"dpt": dpt}}
+    if with_camera:
+        cam: Dict[str, Any] = {
+            "token_norm": layernorm(sd, "camera_head.token_norm"),
+            "embed_pose": linear(sd, "camera_head.embed_pose"),
+            "poseLN_modulation": linear(sd, "camera_head.poseLN_modulation"),
+            "pose_branch_fc1": linear(sd, "camera_head.pose_branch.fc1"),
+            "pose_branch_fc2": linear(sd, "camera_head.pose_branch.fc2"),
+        }
+        for i in range(trunk_depth):
+            b = f"camera_head.trunk.{i}"
+            cam[f"trunk_{i}_norm1"] = layernorm(sd, f"{b}.norm1")
+            cam[f"trunk_{i}_qkv"] = linear(sd, f"{b}.qkv")
+            cam[f"trunk_{i}_proj"] = linear(sd, f"{b}.proj")
+            cam[f"trunk_{i}_ls1"] = {"gamma": _t(sd[f"{b}.ls1.gamma"])}
+            cam[f"trunk_{i}_norm2"] = layernorm(sd, f"{b}.norm2")
+            cam[f"trunk_{i}_mlp"] = {
+                "fc1": linear(sd, f"{b}.mlp.fc1"),
+                "fc2": linear(sd, f"{b}.mlp.fc2"),
+            }
+            cam[f"trunk_{i}_ls2"] = {"gamma": _t(sd[f"{b}.ls2.gamma"])}
+        out["camera_head"] = cam
+    return out
+
+
 def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, np.ndarray]:
     """BatchNorm2d running stats -> inference affine (scale, bias)."""
     gamma = _t(sd[f"{prefix}.weight"])

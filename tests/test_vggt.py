@@ -54,10 +54,12 @@ def test_vggt_forward_contract(rng, s):
     assert out["depth_conf"].shape == (1, s, 70, 70)
     assert out["pose_enc"].shape == (1, s, 9)
     assert np.isfinite(np.asarray(out["depth"])).all()
-    # quaternion part normalized
-    q = np.asarray(out["pose_enc"])[..., 3:7]
-    assert np.allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+    # fov entries relu-activated (upstream activate_pose: fov_act="relu");
+    # quaternion is unnormalized here — decoding normalizes
+    fov = np.asarray(out["pose_enc"])[..., 7:9]
+    assert (fov >= 0).all()
     assert (np.asarray(out["depth"]) > 0).all()
+    assert (np.asarray(out["depth_conf"]) >= 1.0).all()  # conf = 1 + exp
 
 
 def test_vggt_stage_pipeline_matches_fused(rng):
