@@ -769,9 +769,10 @@ def meflow(iters: int = 20, input_hw: tuple = (288, 512),
     return FlowPipeline(spec, forward, params)
 
 
-@register("memfof")
+@register("memfof", fidelity="converter-verified")
 def memfof(iters: int = 8, input_hw: tuple = (288, 512),
-           precision: str = "bf16", params: Any = None, **kw):
+           precision: str = "bf16", params: Any = None,
+           checkpoint: Optional[str] = None, **kw):
     """MEMFOF 3-frame bidirectional flow with encoder feature caching
     (reference ``MEMFOF/``). Returns a TripletFlowPipeline: call with three
     frames; in video mode pass the previous call's cache."""
@@ -798,7 +799,14 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
 
     example = jnp.zeros((1, 3, *in_hw, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_memfof,
+        )
+
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=convert_memfof,
+        )
 
     class TripletFlowPipeline:
         def __init__(self):

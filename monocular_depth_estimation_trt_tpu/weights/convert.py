@@ -438,6 +438,50 @@ def convert_raft(state_dict: Mapping) -> Dict:
     }
 
 
+def _down16_encoder(sd: Mapping, prefix: str, norm: str) -> Dict:
+    return {
+        "enc8": _convert_raft_encoder(sd, f"{prefix}.enc8", norm),
+        "down": conv2d(sd, f"{prefix}.down"),
+    }
+
+
+def convert_memfof(state_dict: Mapping) -> Dict:
+    """MEMFOF checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_memfof.py::TorchMEMFOF``) -> Flax params for
+    :class:`models.flow.memfof.MEMFOF`."""
+    sd = state_dict
+    ub = "update_block"
+    return {
+        "cnet": _down16_encoder(sd, "cnet", "instance"),
+        "fnet": _down16_encoder(sd, "fnet", "instance"),
+        "init_conv": conv2d(sd, "init_conv"),
+        "att": {
+            "to_q": linear(sd, "att.to_q"),
+            "to_k": linear(sd, "att.to_k"),
+        },
+        "update_block": {
+            "encoder": {
+                "convc1": conv2d(sd, f"{ub}.encoder.convc1"),
+                "convc2": conv2d(sd, f"{ub}.encoder.convc2"),
+                "convf1": conv2d(sd, f"{ub}.encoder.convf1"),
+                "convf2": conv2d(sd, f"{ub}.encoder.convf2"),
+                "conv": conv2d(sd, f"{ub}.encoder.conv"),
+            },
+            "aggregator_to_v": linear(sd, f"{ub}.aggregator_to_v"),
+            "aggregator_gamma": _t(sd[f"{ub}.aggregator_gamma"]),
+            "gru": {
+                f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
+                for g in ("z", "r", "q")
+                for i in (1, 2)
+            },
+        },
+        "flow_head_conv1": conv2d(sd, "flow_head.0"),
+        "flow_head_conv2": conv2d(sd, "flow_head.2"),
+        "upsample_weight_conv1": conv2d(sd, "upsample_weight.0"),
+        "upsample_weight_conv2": conv2d(sd, "upsample_weight.2"),
+    }
+
+
 def load_torch_state_dict(path: str) -> Mapping:
     """Load a ``.pth``/``.pt``/``.safetensors`` checkpoint to numpy-friendly
     tensors (CPU)."""
