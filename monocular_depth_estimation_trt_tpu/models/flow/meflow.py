@@ -2,11 +2,21 @@
 
 Serving contract (reference ``MeFlow/``): frame pair (B, 288, 512, 3) raw
 0-255 -> ``flow_low`` (1/8) and ``flow_up`` (full res), 20 refinement
-iterations (``onnx_export.py:53-54``). The reference's ONNX rewrite replaces
-2D correlation with alternating horizontal/vertical 1D windowed correlations
-augmented by 2 taps from each of two downsampled scales — a 17-tap 1D profile
-(``MeFlow/wrapper.py:142-230``) — and uses 1D window attention implemented as
-one-hot grouped convs (``wrapper.py:11-57``).
+iterations (``onnx_export.py:53-54``).
+
+Structure mirrors the reference wrapper's forward exactly
+(``MeFlow/wrapper.py:238-305`` — MeFlow is RAFT-structured):
+
+* ``fnet``/``cnet``: RAFT BasicEncoders (instance / batch norm);
+* 1D window attention on fmap2 (``Attention1DOnnx``, wrapper.py:11-57):
+  query/key 1x1 convs + a (2r+1) window softmax along one axis; applied
+  per scale AFTER avg-pooling (wrapper.py:249-259);
+* cross-direction pairing: the HORIZONTAL correlation samples the
+  VERTICALLY-attended fmap2 and vice versa (wrapper.py:261-262);
+* per iteration BOTH 17-tap 1D profiles (main 2r+1 taps + 2 taps from each
+  end of two pooled scales, wrapper.py:219-228) are concatenated (34ch) and
+  fed to ONE RAFT update block (wrapper.py:279-290);
+* learned 8x convex upsampling of the final flow.
 
 TPU-first formulation: the per-pixel 1D correlation taps
 ``<f1[p], f2(x_p+d, y_p)>`` are exactly 1-axis bilinear samples of the
@@ -14,7 +24,11 @@ all-pairs correlation matrices (full-res and the two pooled scales), so we
 build those three matrices with MXU matmuls once and sample with the
 separable hat-weight contraction (one matmul per axis — no gathers, no
 grouped-conv one-hot tricks). The window attention's key/value windows are
-static shifts, implemented with pad+slice stacking.
+static shifts (pad + slice stacking).
+
+Torch mirror: ``tests/torch_mirror_meflow.py`` (implements the wrapper's
+gather-based sampling independently); converter:
+``weights/convert.py::convert_meflow``.
 """
 
 from __future__ import annotations
@@ -27,7 +41,7 @@ import jax.numpy as jnp
 
 from monocular_depth_estimation_trt_tpu.models.flow.raft import (
     BasicEncoder,
-    SepConvGRU,
+    BasicUpdateBlock,
     coords_grid,
     upsample_flow_convex,
 )
@@ -59,7 +73,9 @@ def corr_1d_lookup(
     """Sample 1D taps from a correlation slab set.
 
     corr (n, h2, w2); coords (B,H,W,2) level-0 pixel coords; offsets (T,)
-    applied along x (horizontal) or y; returns (B, H, W, T)."""
+    applied along x (horizontal) or y AFTER the coordinate downscale
+    (reference ``x_base / 2 + delta``, wrapper.py:186-191); returns
+    (B, H, W, T)."""
     b, h, w, _ = coords.shape
     n = b * h * w
     c = coords.reshape(n, 2).astype(jnp.float32) / scale
@@ -86,7 +102,7 @@ def meflow_corr(
     horizontal: bool,
 ) -> jax.Array:
     """17-tap alternating 1D correlation profile
-    (reference ``MeFlow/wrapper.py:222-230`` tap layout:
+    (reference ``MeFlow/wrapper.py:219-228`` tap layout:
     [d2 first 2, d1 first 2, main 2r+1, d1 last 2, d2 last 2])."""
     c0, c1, c2 = pyr
     d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
@@ -100,9 +116,9 @@ def meflow_corr(
 
 
 class Window1DAttention(nn.Module):
-    """1D window cross-attention (reference ``Attention1DOnnx``): queries
-    attend to a (2r+1) window of keys along one axis; windows are static
-    shifts (pad + slice), no gathers."""
+    """1D window self-attention (reference ``Attention1DOnnx``): queries
+    attend to a (2r+1) window of keys along one axis, values are the raw
+    feature windows; windows are static shifts (pad + slice), no gathers."""
 
     channels: int
     horizontal: bool = True
@@ -110,7 +126,7 @@ class Window1DAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feature: jax.Array, value: jax.Array) -> jax.Array:
+    def __call__(self, feature: jax.Array) -> jax.Array:
         b, h, w, c = feature.shape
         q = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="query")(feature)
         k = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="key")(feature)
@@ -119,27 +135,27 @@ class Window1DAttention(nn.Module):
         if self.horizontal:
             pad = ((0, 0), (0, 0), (self.r, self.r), (0, 0))
             k_pad = jnp.pad(k, pad)
-            v_pad = jnp.pad(value, pad)
+            v_pad = jnp.pad(feature, pad)
             k_win = jnp.stack([k_pad[:, :, i : i + w] for i in range(t)], axis=3)
             v_win = jnp.stack([v_pad[:, :, i : i + w] for i in range(t)], axis=3)
         else:
             pad = ((0, 0), (self.r, self.r), (0, 0), (0, 0))
             k_pad = jnp.pad(k, pad)
-            v_pad = jnp.pad(value, pad)
+            v_pad = jnp.pad(feature, pad)
             k_win = jnp.stack([k_pad[:, i : i + h] for i in range(t)], axis=3)
             v_win = jnp.stack([v_pad[:, i : i + h] for i in range(t)], axis=3)
         # (B, H, W, T, C)
         scores = jnp.einsum("bhwc,bhwtc->bhwt", q, k_win).astype(jnp.float32)
         scores = scores / jnp.sqrt(jnp.float32(self.channels))
-        p = jax.nn.softmax(scores, axis=-1).astype(value.dtype)
+        p = jax.nn.softmax(scores, axis=-1).astype(feature.dtype)
         return jnp.einsum("bhwt,bhwtc->bhwc", p, v_win)
 
 
 class _MeFlowStep(nn.Module):
-    """One scanned refinement pair: a horizontal-correlation update followed
-    by a vertical one (MeFlow alternates directions per iteration).
+    """One scanned refinement iteration: both 1D correlation profiles ->
+    ONE RAFT update block (the wrapper's loop body, wrapper.py:279-290).
 
-    carry = (net, flow); consts = (pyr_h, pyr_v, inp, coords0).
+    carry = (net, flow, mask); consts = (pyr_h, pyr_v, inp, coords0).
     """
 
     dim: int = 128
@@ -148,35 +164,25 @@ class _MeFlowStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, consts):
-        net, flow = carry
+        net, flow, _ = carry
         pyr_h, pyr_v, inp, coords0 = consts
-
-        gru = SepConvGRU(self.dim, self.dtype, name="gru")
-        corr_enc = nn.Conv(96, (1, 1), dtype=self.dtype, name="corr_enc")
-        inp_proj = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="inp_proj")
-        flow_head1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="fh1")
-        flow_head2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="fh2")
-
-        for horizontal, pyr in ((True, pyr_h), (False, pyr_v)):
-            corr = meflow_corr(pyr, coords0 + flow, self.radius, horizontal)
-            x = jnp.concatenate(
-                [corr_enc(corr.astype(self.dtype)), inp, flow.astype(self.dtype)],
-                axis=-1,
-            )
-            net = gru(net, inp_proj(x))
-            delta = flow_head2(nn.relu(flow_head1(net))).astype(jnp.float32)
-            flow = flow + delta
-        return (net, flow), None
+        corr_h = meflow_corr(pyr_h, coords0 + flow, self.radius, True)
+        corr_v = meflow_corr(pyr_v, coords0 + flow, self.radius, False)
+        corr = jnp.concatenate([corr_h, corr_v], axis=-1).astype(self.dtype)
+        net, mask, delta = BasicUpdateBlock(self.dim, self.dtype,
+                                            name="update_block")(
+            net, inp, corr, flow.astype(self.dtype)
+        )
+        return (net, flow + delta.astype(jnp.float32), mask), None
 
 
 class MeFlow(nn.Module):
     """Returns (flow_low (B,H/8,W/8,2), flow_up (B,H,W,2)).
 
     ``use_scan`` trades throughput for compile time: the scanned loop builds
-    in seconds but runs ~122 FPS; the unrolled loop builds in ~9 min (once —
-    the persistent cache keeps it) and runs ~178 FPS (XLA specializes and
-    pipelines across iterations). Default: unrolled, like the reference's
-    unrolled ONNX graph (whose TRT build took 197 min, MeFlow/README.md:84).
+    in seconds; the unrolled loop builds once (persistent cache) and runs
+    faster (XLA specializes and pipelines across iterations) — like the
+    reference's unrolled ONNX graph (TRT build: 197 min, MeFlow/README.md:84).
     """
 
     iters: int = 20
@@ -195,21 +201,27 @@ class MeFlow(nn.Module):
         fm = fnet(both)
         f1, f2 = jnp.split(fm, 2, axis=0)
 
-        # 1D-attention-aggregated features along each axis (MeFlow applies
-        # 1D self/cross attention to propagate along the orthogonal axis)
-        f2h = Window1DAttention(128, True, self.radius, self.dtype,
-                                name="attn_h")(f2, f2)
-        f2v = Window1DAttention(128, False, self.radius, self.dtype,
-                                name="attn_v")(f2, f2)
+        # 1D attention per scale AFTER pooling (wrapper.py:249-259); the same
+        # attn modules are shared across scales
+        attn_h = Window1DAttention(128, True, self.radius, self.dtype,
+                                   name="attn_h")
+        attn_v = Window1DAttention(128, False, self.radius, self.dtype,
+                                   name="attn_v")
+        f2_d1 = avg_pool2x2(f2)
+        f2_d2 = avg_pool2x2(f2_d1)
 
-        # correlation matrices: full + two pooled scales, per direction
-        def pyramid(fb):
-            p1 = avg_pool2x2(fb)
-            p2 = avg_pool2x2(p1)
-            return (_corr_matrix(f1, fb), _corr_matrix(f1, p1), _corr_matrix(f1, p2))
-
-        pyr_h = pyramid(f2h)
-        pyr_v = pyramid(f2v)
+        # cross-direction pairing (wrapper.py:261-262): horizontal corr reads
+        # the vertically-attended features, vertical corr the horizontal ones
+        pyr_h = (
+            _corr_matrix(f1, attn_v(f2)),
+            _corr_matrix(f1, attn_v(f2_d1)),
+            _corr_matrix(f1, attn_v(f2_d2)),
+        )
+        pyr_v = (
+            _corr_matrix(f1, attn_h(f2)),
+            _corr_matrix(f1, attn_h(f2_d1)),
+            _corr_matrix(f1, attn_h(f2_d2)),
+        )
 
         cnet = BasicEncoder(2 * self.dim, "batch", self.dtype, name="cnet")(img1)
         net, inp = jnp.split(cnet, 2, axis=-1)
@@ -219,9 +231,8 @@ class MeFlow(nn.Module):
         b, h8, w8, _ = f1.shape
         coords0 = coords_grid(b, h8, w8)
         flow = jnp.zeros_like(coords0)
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), self.dtype)
 
-        mask_head = nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask")
-        n_pairs = max(self.iters // 2, 1)
         if self.use_scan:
             scan_step = nn.scan(
                 _MeFlowStep,
@@ -229,14 +240,18 @@ class MeFlow(nn.Module):
                 split_rngs={"params": False},
                 in_axes=nn.broadcast,
                 out_axes=0,
-                length=n_pairs,
+                length=self.iters,
             )(self.dim, self.radius, self.dtype, name="step")
-            (net, flow), _ = scan_step((net, flow), (pyr_h, pyr_v, inp, coords0))
+            (net, flow, mask), _ = scan_step(
+                (net, flow, mask0), (pyr_h, pyr_v, inp, coords0)
+            )
         else:
             step = _MeFlowStep(self.dim, self.radius, self.dtype, name="step")
-            for _ in range(n_pairs):
-                (net, flow), _ = step((net, flow), (pyr_h, pyr_v, inp, coords0))
+            mask = mask0
+            for _ in range(self.iters):
+                (net, flow, mask), _ = step(
+                    (net, flow, mask), (pyr_h, pyr_v, inp, coords0)
+                )
 
-        mask = 0.25 * mask_head(net).astype(jnp.float32)
-        flow_up = upsample_flow_convex(flow, mask)
+        flow_up = upsample_flow_convex(flow, mask.astype(jnp.float32))
         return flow, flow_up

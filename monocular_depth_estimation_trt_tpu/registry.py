@@ -735,10 +735,11 @@ def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
     return FlowPipeline(spec, forward, params)
 
 
-@register("meflow")
+@register("meflow", fidelity="converter-verified")
 def meflow(iters: int = 20, input_hw: tuple = (288, 512),
            precision: str = "bf16", params: Any = None,
-           use_scan: bool = False, **kw) -> "FlowPipeline":
+           use_scan: bool = False, checkpoint: Optional[str] = None,
+           **kw) -> "FlowPipeline":
     """MeFlow memory-efficient flow via alternating 1D correlations
     (reference ``MeFlow/``). ``use_scan=True`` compiles in seconds at ~0.7x
     throughput (see the model docstring)."""
@@ -763,8 +764,13 @@ def meflow(iters: int = 20, input_hw: tuple = (288, 512),
 
     example = jnp.zeros((1, *input_hw, 3), jnp.float32)
     if params is None:
+        from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_meflow,
+        )
+
         params = get_or_convert_params(
-            spec.artifact_name(), model, (example, example)
+            spec.artifact_name(), model, (example, example),
+            torch_ckpt=checkpoint, converter=convert_meflow,
         )
     return FlowPipeline(spec, forward, params)
 

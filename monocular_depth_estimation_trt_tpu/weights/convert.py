@@ -482,6 +482,46 @@ def convert_memfof(state_dict: Mapping) -> Dict:
     }
 
 
+def convert_meflow(state_dict: Mapping) -> Dict:
+    """MeFlow checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_meflow.py::TorchMeFlow``) -> Flax params for
+    :class:`models.flow.meflow.MeFlow`."""
+    sd = state_dict
+    ub = "update_block"
+    return {
+        "fnet": _convert_raft_encoder(sd, "fnet", "instance"),
+        "cnet": _convert_raft_encoder(sd, "cnet", "batch"),
+        "attn_h": {
+            "query": conv2d(sd, "attn_h.query_conv"),
+            "key": conv2d(sd, "attn_h.key_conv"),
+        },
+        "attn_v": {
+            "query": conv2d(sd, "attn_v.query_conv"),
+            "key": conv2d(sd, "attn_v.key_conv"),
+        },
+        "step": {
+            "update_block": {
+                "encoder": {
+                    "convc1": conv2d(sd, f"{ub}.encoder.convc1"),
+                    "convc2": conv2d(sd, f"{ub}.encoder.convc2"),
+                    "convf1": conv2d(sd, f"{ub}.encoder.convf1"),
+                    "convf2": conv2d(sd, f"{ub}.encoder.convf2"),
+                    "conv": conv2d(sd, f"{ub}.encoder.conv"),
+                },
+                "gru": {
+                    f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
+                    for g in ("z", "r", "q")
+                    for i in (1, 2)
+                },
+                "flow_head_conv1": conv2d(sd, f"{ub}.flow_head.conv1"),
+                "flow_head_conv2": conv2d(sd, f"{ub}.flow_head.conv2"),
+                "mask_conv0": conv2d(sd, f"{ub}.mask.0"),
+                "mask_conv2": conv2d(sd, f"{ub}.mask.2"),
+            }
+        },
+    }
+
+
 def load_torch_state_dict(path: str) -> Mapping:
     """Load a ``.pth``/``.pt``/``.safetensors`` checkpoint to numpy-friendly
     tensors (CPU)."""

@@ -119,9 +119,9 @@ class TorchFlowHead(nn.Module):
 
 
 class TorchUpdateBlock(nn.Module):
-    def __init__(self):
+    def __init__(self, cor_planes=4 * 81):
         super().__init__()
-        self.encoder = TorchMotionEncoder()
+        self.encoder = TorchMotionEncoder(cor_planes)
         self.gru = TorchSepConvGRU()
         self.flow_head = TorchFlowHead()
         self.mask = nn.Sequential(
