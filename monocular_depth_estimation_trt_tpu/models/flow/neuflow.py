@@ -5,17 +5,18 @@ Serving contract (reference ``NeuFlow/``): frame pair (B, 288, 512, 3) raw
 wrapper's corr blocks are single-level r=4 at 1/16 and 1/8
 (``NeuFlow/wrapper.py:70-125``), matched here.
 
-Architecture (NeuFlow v2, Zhang et al.): a light conv backbone to 1/8 and
-1/16 features; global cross-view matching at 1/16 initializes flow
-(softmax-correlation expectation, no argmax); RAFT-style windowed-correlation
-refinement at 1/16 then 1/8 with small conv GRUs; learned 8x convex
-upsampling. Implemented on the shared flow component library — correlation
-window lookups use the separable MXU formulation (``ops/flow_sampler``).
+Architecture (reconstruction of NeuFlow v2, Zhang et al. 2024 — the upstream
+network is gitignored in the reference; only its corr blocks are visible in
+the wrapper): a double-conv CNN backbone to 1/8 and 1/16 features (dim 128);
+one bidirectional cross-attention layer at 1/16 (the paper's cross-feature
+enhancement before matching); global matching by softmax-correlation
+expectation; ConvGRU refinement at 1/16 (8 iters, single-level r=4 corr,
+matching ``corr_block_s16``); feature-merged refinement at 1/8 (8 iters,
+``corr_block_s8``); learned 8x convex upsampling. Correlation window lookups
+use the separable MXU formulation (``ops/flow_sampler``).
 
-Fidelity note: this follows the paper's stage structure but with a thinner
-backbone/refiner than the exact upstream config, so its benchmark numbers
-overstate the speedup relative to a weight-exact port — compare against the
-RAFT family (3–4x) for the architecture-matched picture.
+Torch mirror: ``tests/torch_mirror_neuflow.py``; converter:
+``weights/convert.py::convert_neuflow``.
 """
 
 from __future__ import annotations
@@ -25,6 +26,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from monocular_depth_estimation_trt_tpu.models.flow.raft import (
     SepConvGRU,
@@ -38,6 +40,8 @@ from monocular_depth_estimation_trt_tpu.ops.flow_sampler import (
 
 
 class ConvBlock(nn.Module):
+    """conv-norm-relu x2 (the backbone's double-conv stage)."""
+
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
@@ -45,34 +49,99 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+                    padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(x)
+        x = nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         return nn.relu(x)
 
 
 class Backbone(nn.Module):
-    """1/8 and 1/16 feature maps."""
+    """1/8 and 1/16 feature maps (dim-wide double-conv stages)."""
 
-    dim: int = 96
+    dim: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBlock(32, 2, self.dtype)(x)  # 1/2
-        x = ConvBlock(48, 2, self.dtype)(x)  # 1/4
-        f8 = ConvBlock(self.dim, 2, self.dtype)(x)  # 1/8
-        f8 = ConvBlock(self.dim, 1, self.dtype)(f8)
-        f16 = ConvBlock(self.dim, 2, self.dtype)(f8)  # 1/16
-        f16 = ConvBlock(self.dim, 1, self.dtype)(f16)
+        x = ConvBlock(64, 2, self.dtype, name="block1")(x)  # 1/2
+        x = ConvBlock(96, 2, self.dtype, name="block2")(x)  # 1/4
+        f8 = ConvBlock(self.dim, 2, self.dtype, name="block8")(x)  # 1/8
+        f16 = ConvBlock(self.dim, 2, self.dtype, name="block16")(f8)  # 1/16
         return f8, f16
+
+
+class CrossAttention(nn.Module):
+    """One bidirectional cross-attention layer at 1/16 (global matching
+    feature enhancement): each view's tokens attend to the other view."""
+
+    dim: int = 128
+    num_heads: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fa: jax.Array, fb: jax.Array):
+        b, h, w, c = fa.shape
+        n = h * w
+        q_proj = nn.Dense(self.dim, dtype=self.dtype, name="q")
+        k_proj = nn.Dense(self.dim, dtype=self.dtype, name="k")
+        v_proj = nn.Dense(self.dim, dtype=self.dtype, name="v")
+        out_proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+
+        def attend(x, ctx):
+            xq = q_proj(x.reshape(b, n, c))
+            ck = k_proj(ctx.reshape(b, n, c))
+            cv = v_proj(ctx.reshape(b, n, c))
+            s = jnp.einsum("bqc,bkc->bqk", xq, ck).astype(jnp.float32)
+            s = s / np.sqrt(self.dim)
+            p = jax.nn.softmax(s, axis=-1).astype(cv.dtype)
+            o = jnp.einsum("bqk,bkc->bqc", p, cv)
+            y = x.reshape(b, n, c) + out_proj(o)
+            return norm(y).reshape(b, h, w, c)
+
+        return attend(fa, fb), attend(fb, fa)
+
+
+class RefineStage(nn.Module):
+    """ConvGRU refinement at one scale (single-level r=4 windowed corr —
+    the wrapper's CorrBlockONNX(radius=4, levels=1))."""
+
+    dim: int = 128
+    iters: int = 8
+    radius: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f1, pyr, flow):
+        b, h, w, _ = f1.shape
+        coords0 = coords_grid(b, h, w)
+        net = jnp.tanh(
+            nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="init")(f1)
+        )
+        gru = SepConvGRU(self.dim, self.dtype, name="gru")
+        enc = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="enc")
+        head1 = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="head1")
+        head2 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="head2")
+        for _ in range(self.iters):
+            corr_w = corr_lookup_separable(pyr, coords0 + flow, self.radius)
+            inp = jnp.concatenate(
+                [corr_w.astype(self.dtype), flow.astype(self.dtype)], axis=-1
+            )
+            net = gru(net, enc(inp))
+            flow = flow + head2(nn.relu(head1(net))).astype(jnp.float32)
+        return net, flow
 
 
 class NeuFlow(nn.Module):
     """Returns flow at full input resolution (B, H, W, 2)."""
 
-    dim: int = 96
-    refine_iters_16: int = 4
-    refine_iters_8: int = 4
+    dim: int = 128
+    refine_iters_16: int = 8
+    refine_iters_8: int = 8
     radius: int = 4
     dtype: Any = jnp.float32
 
@@ -86,6 +155,10 @@ class NeuFlow(nn.Module):
         f8, f16 = bb(both)
         f8_1, f8_2 = jnp.split(f8, 2, axis=0)
         f16_1, f16_2 = jnp.split(f16, 2, axis=0)
+
+        # cross-attention feature enhancement before global matching
+        f16_1, f16_2 = CrossAttention(self.dim, dtype=self.dtype,
+                                      name="cross_attn")(f16_1, f16_2)
 
         b, h16, w16, c = f16_1.shape
 
@@ -102,38 +175,20 @@ class NeuFlow(nn.Module):
         # --- refinement at 1/16 (single-level corr, r=4:
         # NeuFlow/wrapper.py:121-125) ---
         pyr16 = build_corr_pyramid(f16_1, f16_2, num_levels=1)
-        coords0_16 = coords_grid(b, h16, w16)
-        net16 = jnp.tanh(
-            nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name="init16")(f16_1)
-        )
-        gru16 = SepConvGRU(self.dim, self.dtype, name="gru16")
-        head16 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="head16")
-        enc16 = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="enc16")
-        for _ in range(self.refine_iters_16):
-            corr_w = corr_lookup_separable(pyr16, coords0_16 + flow16, self.radius)
-            inp = jnp.concatenate([corr_w.astype(self.dtype), flow16.astype(self.dtype)], axis=-1)
-            inp = enc16(inp)
-            net16 = gru16(net16, inp)
-            flow16 = flow16 + head16(net16).astype(jnp.float32)
+        _, flow16 = RefineStage(self.dim, self.refine_iters_16, self.radius,
+                                self.dtype, name="refine16")(f16_1, pyr16, flow16)
 
-        # --- upsample to 1/8 and refine there ---
+        # --- upsample to 1/8, merge with 1/8 features, refine there ---
         b8, h8, w8, _ = f8_1.shape
         flow8 = 2.0 * jax.image.resize(flow16, (b, h8, w8, 2), "bilinear")
-        pyr8 = build_corr_pyramid(f8_1, f8_2, num_levels=1)
-        coords0_8 = coords_grid(b, h8, w8)
-        net8 = jnp.tanh(
-            nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name="init8")(f8_1)
+        merged = nn.relu(
+            nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    name="merge8")(f8_1)
         )
-        gru8 = SepConvGRU(self.dim, self.dtype, name="gru8")
-        head8 = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype, name="head8")
-        mask_head = nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask8")
-        enc8 = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="enc8")
-        for _ in range(self.refine_iters_8):
-            corr_w = corr_lookup_separable(pyr8, coords0_8 + flow8, self.radius)
-            inp = jnp.concatenate([corr_w.astype(self.dtype), flow8.astype(self.dtype)], axis=-1)
-            inp = enc8(inp)
-            net8 = gru8(net8, inp)
-            flow8 = flow8 + head8(net8).astype(jnp.float32)
+        pyr8 = build_corr_pyramid(f8_1, f8_2, num_levels=1)
+        net8, flow8 = RefineStage(self.dim, self.refine_iters_8, self.radius,
+                                  self.dtype, name="refine8")(merged, pyr8, flow8)
 
-        mask = 0.25 * mask_head(net8)
+        mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=self.dtype,
+                              name="mask8")(net8)
         return upsample_flow_convex(flow8, mask.astype(jnp.float32))

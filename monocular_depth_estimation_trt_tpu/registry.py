@@ -704,9 +704,10 @@ def raft(
     return FlowPipeline(spec, forward, params)
 
 
-@register("neuflow")
+@register("neuflow", fidelity="converter-verified")
 def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
-            params: Any = None, **kw) -> "FlowPipeline":
+            params: Any = None, checkpoint: Optional[str] = None,
+            **kw) -> "FlowPipeline":
     """NeuFlow v2 efficient flow (reference ``NeuFlow/``): global matching at
     1/16 + windowed refinement; single ``flow`` output."""
     import jax.numpy as jnp
@@ -729,8 +730,13 @@ def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
 
     example = jnp.zeros((1, *input_hw, 3), jnp.float32)
     if params is None:
+        from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_neuflow,
+        )
+
         params = get_or_convert_params(
-            spec.artifact_name(), model, (example, example)
+            spec.artifact_name(), model, (example, example),
+            torch_ckpt=checkpoint, converter=convert_neuflow,
         )
     return FlowPipeline(spec, forward, params)
 

@@ -482,6 +482,55 @@ def convert_memfof(state_dict: Mapping) -> Dict:
     }
 
 
+def _neuflow_refine(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "init": conv2d(sd, f"{prefix}.init"),
+        "gru": {
+            f"conv{g}{i}": conv2d(sd, f"{prefix}.gru.conv{g}{i}")
+            for g in ("z", "r", "q")
+            for i in (1, 2)
+        },
+        "enc": conv2d(sd, f"{prefix}.enc"),
+        "head1": conv2d(sd, f"{prefix}.head1"),
+        "head2": conv2d(sd, f"{prefix}.head2"),
+    }
+
+
+def convert_neuflow(state_dict: Mapping) -> Dict:
+    """NeuFlow v2 checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_neuflow.py::TorchNeuFlow``) -> Flax params for
+    :class:`models.flow.neuflow.NeuFlow`."""
+    sd = state_dict
+
+    def conv_block(prefix):
+        return {
+            "conv1": conv2d(sd, f"{prefix}.conv1"),
+            "norm1": layernorm(sd, f"{prefix}.norm1"),  # GroupNorm affine
+            "conv2": conv2d(sd, f"{prefix}.conv2"),
+            "norm2": layernorm(sd, f"{prefix}.norm2"),
+        }
+
+    return {
+        "backbone": {
+            "block1": conv_block("backbone.block1"),
+            "block2": conv_block("backbone.block2"),
+            "block8": conv_block("backbone.block8"),
+            "block16": conv_block("backbone.block16"),
+        },
+        "cross_attn": {
+            "q": linear(sd, "cross_attn.q"),
+            "k": linear(sd, "cross_attn.k"),
+            "v": linear(sd, "cross_attn.v"),
+            "proj": linear(sd, "cross_attn.proj"),
+            "norm": layernorm(sd, "cross_attn.norm"),
+        },
+        "refine16": _neuflow_refine(sd, "refine16"),
+        "refine8": _neuflow_refine(sd, "refine8"),
+        "merge8": conv2d(sd, "merge8"),
+        "mask8": conv2d(sd, "mask8"),
+    }
+
+
 def convert_meflow(state_dict: Mapping) -> Dict:
     """MeFlow checkpoint (torch-mirror layout,
     ``tests/torch_mirror_meflow.py::TorchMeFlow``) -> Flax params for
