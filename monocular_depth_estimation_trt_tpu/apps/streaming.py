@@ -166,30 +166,52 @@ def run_flow_frames(
 
 
 class VGGTStreamingSession:
-    """Windowed multi-view streaming on a VGGT model (the StreamVGGT serving
-    pattern, reference ``StreamVGGT/``: causal per-frame depth with temporal
-    context).
+    """KV-cache causal streaming on VGGT weights (the StreamVGGT serving
+    pattern, reference ``StreamVGGT/`` — whose streaming inference the
+    reference could NOT export, ``StreamVGGT/onnx_export.py:25-55``).
 
-    Keeps the last ``window`` frames; each step runs the jitted multi-view
-    model over the window (static S -> one compiled program) and returns the
-    newest view's outputs. The window is left-padded by repeating the oldest
-    frame so shapes stay static from the first step.
+    Per step, ONE view runs through the aggregator; global attention reads
+    the cached keys/values of previous views (``models/streamvggt.py``), so
+    per-step cost is ~independent of the window length — vs the reference's
+    (and round-1's) full-window recompute, which scaled with S. The cache is
+    a fixed-capacity ring (sliding window); stepwise outputs exactly match
+    the view-causal joint model (``tests/test_streamvggt.py``).
     """
 
-    def __init__(self, model_apply, params, *, window: int = 4,
-                 input_size: int = 518):
-        import collections
-
+    def __init__(self, params, *, cfg=None, window: int = 4,
+                 input_size: int = 518, dtype=None, attn_impl: str = "auto",
+                 with_camera: bool = False):
         import jax
+        import jax.numpy as jnp
 
+        from monocular_depth_estimation_trt_tpu.models.streamvggt import (
+            StreamingVGGT,
+            init_stream_cache,
+        )
+        from monocular_depth_estimation_trt_tpu.models.vggt import VGGTConfig
+
+        cfg = cfg or VGGTConfig()
         self.window = window
         self.input_size = input_size
         self.params = params
-        self._frames = collections.deque(maxlen=window)
-        self._jit = jax.jit(model_apply)
+        dtype = dtype or jnp.bfloat16
+        model = StreamingVGGT(cfg=cfg, max_views=window, dtype=dtype,
+                              attn_impl=attn_impl, with_camera=with_camera)
+        grid = (input_size // cfg.patch_size, input_size // cfg.patch_size)
+        self._cache = init_stream_cache(cfg, 1, grid, window, dtype)
+        self._jit = jax.jit(
+            lambda p, v, c: model.apply({"params": p}, v, c)
+        )
+
+    def reset(self):
+        import jax
+
+        self._cache = jax.tree_util.tree_map(
+            lambda x: x * 0 if hasattr(x, "dtype") else x, self._cache
+        )
 
     def step(self, frame_u8: np.ndarray):
-        """frame_u8: (H, W, 3) RGB uint8 -> dict with the newest view's
+        """frame_u8: (H, W, 3) RGB uint8 -> dict with this view's
         depth/conf (device arrays)."""
         import jax.numpy as jnp
 
@@ -197,16 +219,12 @@ class VGGTStreamingSession:
             preprocess_pad_square,
         )
 
-        x = preprocess_pad_square(jnp.asarray(frame_u8), self.input_size)[0]
-        self._frames.append(x)
-        frames = list(self._frames)
-        while len(frames) < self.window:
-            frames.insert(0, frames[0])
-        views = jnp.stack(frames, axis=0)[None]  # (1, S, H, W, 3)
-        out = self._jit(self.params, views)
+        x = preprocess_pad_square(jnp.asarray(frame_u8), self.input_size)
+        out, self._cache = self._jit(self.params, x, self._cache)
         return {
-            "depth": out["depth"][0, -1],
-            "depth_conf": out["depth_conf"][0, -1],
+            "depth": out["depth"][0],
+            "depth_conf": out["depth_conf"][0],
+            **({"pose_enc": out["pose_enc"][0]} if "pose_enc" in out else {}),
         }
 
 

@@ -69,25 +69,41 @@ def cmd_run(args) -> int:
     np.savez_compressed(npz, depth=depth)
     log(f"wrote {npz}")
 
+    if args.colorbar:
+        from monocular_depth_estimation_trt_tpu.apps.pointcloud import (
+            save_metric_colorbar_figure,
+        )
+
+        bar = os.path.join(args.out, f"{stem}_{name}_depth_bar.jpg")
+        save_metric_colorbar_figure(depth, bar)
+        log(f"wrote {bar}")
+
     if args.pointcloud:
         from monocular_depth_estimation_trt_tpu.apps.pointcloud import (
             depth_to_pointcloud_file,
+            points_to_mesh_file,
         )
 
-        # prefer the model's own camera estimate when it predicts one
-        # (Depth Pro f_px, UniDepth intrinsics — reference
-        # Depth_Pro/onnx2trt_pointcloud.py:216-230)
-        focal = args.focal
-        intrinsics = None
-        if "f_px" in out:
-            focal = float(out["f_px"])
-            log(f"using predicted focal length: {focal:.2f} px")
-        if "intrinsics" in out:
-            intrinsics = out["intrinsics"]
         ext = "glb" if args.mesh_format == "glb" else "ply"
         ply = os.path.join(args.out, f"{stem}_{name}.{ext}")
-        depth_to_pointcloud_file(depth, img, ply, focal=focal,
-                                 intrinsics=intrinsics)
+        if args.mesh and "points" in out:
+            # triangulated mesh from the model's point map (MoGe-2 path,
+            # reference MoGe_2/onnx2trt.py:269-317)
+            points_to_mesh_file(out["points"], img, ply,
+                                mask=out.get("mask"))
+        else:
+            # prefer the model's own camera estimate when it predicts one
+            # (Depth Pro f_px, UniDepth intrinsics — reference
+            # Depth_Pro/onnx2trt_pointcloud.py:216-230)
+            focal = args.focal
+            intrinsics = None
+            if "f_px" in out:
+                focal = float(out["f_px"])
+                log(f"using predicted focal length: {focal:.2f} px")
+            if "intrinsics" in out:
+                intrinsics = out["intrinsics"]
+            depth_to_pointcloud_file(depth, img, ply, focal=focal,
+                                     intrinsics=intrinsics)
         log(f"wrote {ply}")
 
     if args.benchmark:
@@ -237,6 +253,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")
     run.add_argument("--mesh-format", default="ply", choices=["ply", "glb"],
                      help="point-cloud container (MoGe-2 exports .glb too)")
+    run.add_argument("--mesh", action="store_true",
+                     help="triangulated image-grid mesh instead of points "
+                     "(models with a point map + mask, e.g. moge2)")
+    run.add_argument("--colorbar", action="store_true",
+                     help="also save the colorbar-in-meters figure "
+                     "(reference onnx2trt.py:249-262)")
     run.add_argument("--benchmark", action="store_true")
     run.set_defaults(fn=cmd_run)
 

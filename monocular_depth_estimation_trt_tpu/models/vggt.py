@@ -80,7 +80,8 @@ class RopeAttention(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, views: int = 1) -> jax.Array:
+    def __call__(self, x: jax.Array, views: int = 1,
+                 causal: bool = False) -> jax.Array:
         b, n, _ = x.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
@@ -107,7 +108,8 @@ class RopeAttention(nn.Module):
         q = rotate(q)
         k = rotate(k)
 
-        if jax.default_backend() == "tpu" and self.num_heads >= 12 and n >= 1024:
+        if (not causal and jax.default_backend() == "tpu"
+                and self.num_heads >= 12 and n >= 1024):
             from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
                 flash_attention,
             )
@@ -116,6 +118,13 @@ class RopeAttention(nn.Module):
         else:
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
             s = s / np.sqrt(hd)
+            if causal and views > 1:
+                # view-causal: tokens of view s attend only to views <= s
+                # (StreamVGGT's streaming semantics — within a view attention
+                # stays full)
+                vid = jnp.arange(n) // n_per_view
+                allowed = vid[:, None] >= vid[None, :]
+                s = jnp.where(allowed[None, None], s, -jnp.inf)
             p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
@@ -132,10 +141,11 @@ class AASubBlock(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, views: int = 1) -> jax.Array:
+    def __call__(self, x: jax.Array, views: int = 1,
+                 causal: bool = False) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = RopeAttention(self.dim, self.num_heads, self.num_special,
-                          self.grid_hw, self.dtype, name="attn")(h, views)
+                          self.grid_hw, self.dtype, name="attn")(h, views, causal)
         x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name="mlp")(h)
@@ -157,6 +167,9 @@ class VGGTConfig:
     vit_config: Any = None
     head_features: int = 256
     head_out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    # view-causal global attention (StreamVGGT semantics; the KV-cache
+    # streaming path in models/streamvggt.py is exactly equivalent to this)
+    causal: bool = False
 
 
 class Aggregator(nn.Module):
@@ -225,7 +238,8 @@ class Aggregator(nn.Module):
             # global attention: across all views of a batch element
             xg = x.reshape(b, s * n_view, c.dim)
             xg = AASubBlock(c.dim, c.num_heads, num_special, (ph, pw),
-                            self.dtype, name=f"global_{i}")(xg, views=s)
+                            self.dtype, name=f"global_{i}")(
+                xg, views=s, causal=c.causal)
             x = xg.reshape(b * s, n_view, c.dim)
             if i in head_set:
                 cat = jnp.concatenate([frame_out, x], axis=-1)  # (B*S, N, 2dim)
@@ -253,9 +267,12 @@ class CameraHead(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens: jax.Array) -> jax.Array:
-        # tokens: last aggregated layer (B, S, N, 2dim); take camera token
-        cam = tokens[:, :, 0]  # (B, S, 2dim)
+    def __call__(self, tokens: jax.Array,
+                 key_mask: Any = None) -> jax.Array:
+        # tokens: last aggregated layer (B, S, N, 2dim) -> camera token per
+        # view; or pre-extracted camera tokens (B, S, 2dim) (streaming path).
+        # key_mask (S,) bool: valid view slots (streaming ring buffer).
+        cam = tokens[:, :, 0] if tokens.ndim == 4 else tokens  # (B, S, 2dim)
         b, s, _ = cam.shape
         pose_tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                    name="token_norm")(cam)
@@ -303,6 +320,9 @@ class CameraHead(nn.Module):
                 att = jnp.einsum("bshd,bthd->bhst", q, k).astype(
                     jnp.float32
                 ) / np.sqrt(hd)
+                if key_mask is not None:
+                    att = jnp.where(key_mask[None, None, None, :], att,
+                                    -jnp.inf)
                 p = jax.nn.softmax(att, axis=-1).astype(v.dtype)
                 o = jnp.einsum("bhst,bthd->bshd", p, v).reshape(b, s, self.dim)
                 x = x + m["ls1"](m["proj"](o))

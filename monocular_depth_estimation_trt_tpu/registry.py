@@ -175,7 +175,7 @@ def distill_any_depth(encoder: str = "vits", **kw) -> DepthPipeline:
     return _build_da_family("distill_any_depth", encoder, **kw)
 
 
-@register("depth_anything_ac", fidelity="architecture-matched")
+@register("depth_anything_ac", fidelity="converter-verified")
 def depth_anything_ac(encoder: str = "vits", **kw) -> DepthPipeline:
     """DA-V2 variant robust to adverse conditions (reference
     ``Depth_Anything_AC/``); identical serving graph."""
@@ -645,15 +645,17 @@ def vggt(input_size: int = 518, precision: str = "bf16", attn_impl: str = "auto"
                        with_camera=not depth_only, checkpoint=checkpoint)
 
 
-@register("streamvggt")
+@register("streamvggt", fidelity="converter-verified")
 def streamvggt(input_size: int = 518, precision: str = "bf16",
-               attn_impl: str = "auto", params: Any = None, **kw) -> DepthPipeline:
-    """StreamVGGT causal/streaming variant. The reference exports the
-    single-frame depth-only wrapper (``StreamVGGT/onnx_export.py:25-55``) —
-    matched here; windowed multi-frame streaming is available through
-    ``apps.streaming`` by stacking recent frames on the S axis."""
+               attn_impl: str = "auto", params: Any = None,
+               checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+    """StreamVGGT causal/streaming variant. The reference exports only the
+    single-frame depth wrapper (``StreamVGGT/onnx_export.py:25-55``) —
+    matched here by this pipeline; true causal KV-cache streaming (which the
+    reference could NOT export) is ``apps.streaming.VGGTStreamingSession``
+    over the same weights (``models/streamvggt.py``)."""
     return _build_vggt("streamvggt", input_size, precision, attn_impl, params,
-                       with_camera=False)
+                       with_camera=False, checkpoint=checkpoint)
 
 
 # ---------------------------------------------------------------------------
