@@ -102,6 +102,20 @@ class DualDPTHead(nn.Module):
         return depth, sky
 
 
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DA3Config:
+    """Tiny-config override for tests (no global table mutation)."""
+
+    vit_config: Any = None
+    features: Optional[int] = None
+    out_channels: Optional[Tuple[int, ...]] = None
+    out_indices: Optional[Tuple[int, ...]] = None
+
+
 class DepthAnythingV3(nn.Module):
     """Input (B, H, W, 3) normalized; returns (depth (B,H,W) metric meters,
     sky (B,H,W) in [0,1])."""
@@ -109,16 +123,23 @@ class DepthAnythingV3(nn.Module):
     encoder: str = "vitl"
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    cfg: DA3Config = DA3Config()
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        vit_cfg = VIT_CONFIGS[self.encoder]
-        head_cfg = HEAD_CONFIGS[self.encoder]
+        vit_cfg = self.cfg.vit_config or VIT_CONFIGS[self.encoder]
+        head_cfg = (
+            {"features": self.cfg.features,
+             "out_channels": self.cfg.out_channels}
+            if self.cfg.features is not None
+            else HEAD_CONFIGS[self.encoder]
+        )
         ph, pw = x.shape[1] // vit_cfg.patch_size, x.shape[2] // vit_cfg.patch_size
 
+        out_indices = self.cfg.out_indices or INTERMEDIATE_LAYER_IDX[self.encoder]
         features = DinoViT(
             vit_cfg,
-            out_indices=INTERMEDIATE_LAYER_IDX[self.encoder],
+            out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="backbone",

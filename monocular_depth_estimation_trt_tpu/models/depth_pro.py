@@ -144,13 +144,14 @@ class FOVNetwork(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, decoder_feat: jax.Array, fov_global: jax.Array):
+    def __call__(self, decoder_feat: jax.Array, fov_global: jax.Array,
+                 grid_hw: Tuple[int, int] = (24, 24)):
         f = self.features
         x = nn.Conv(f // 2, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
                     name="down0")(decoder_feat)  # 768 -> 384
         x = nn.relu(x)
-        # pool to the fov encoder grid (24x24) and fuse
-        x = resize(x, (24, 24), method="linear")
+        # pool to the fov encoder grid and fuse
+        x = resize(x, grid_hw, method="linear")
         g = nn.Dense(f // 2, dtype=self.dtype, name="fov_proj")(fov_global)
         x = x + g[:, None, None, :]
         x = nn.Conv(f // 4, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
@@ -159,65 +160,98 @@ class FOVNetwork(nn.Module):
         x = nn.Conv(f // 8, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
                     name="down2")(x)  # 12 -> 6
         x = nn.relu(x)
-        x = x.reshape(x.shape[0], -1)
+        # flatten in (C, H, W) order — torch checkpoints store the head
+        # Linear against an NCHW flatten
+        x = jnp.moveaxis(x, -1, 1).reshape(x.shape[0], -1)
         fov = nn.Dense(1, dtype=self.dtype, name="head")(x)
         return fov[:, 0].astype(jnp.float32)
 
 
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthProConfig:
+    """Geometry of the multi-scale pyramid. The production preset is the
+    upstream ViT-L/16@384 layout (1536 input, 384 windows, 25+9+1 views);
+    tiny presets keep every ratio (window = 4x stride margins, 5x5 and 3x3
+    grids) so the split/merge math is exercised identically in tests."""
+
+    img_size: int = 1536
+    window: int = 384
+    stride0: int = 288  # full-res split stride (25 windows)
+    stride1: int = 192  # half-res split stride (9 windows)
+    vit_config: Any = None
+    hook_block_ids: Tuple[int, int] = HOOK_BLOCK_IDS
+
+    @property
+    def vit(self):
+        return self.vit_config or VIT_L16_384
+
+
 class DepthPro(nn.Module):
-    """Input (1, 1536, 1536, 3) normalized (mean/std 0.5).
-    Returns (canonical_inverse_depth (1, 1536, 1536), fov_deg (1,))."""
+    """Input (1, S, S, 3) normalized (mean/std 0.5), S = cfg.img_size.
+    Returns (canonical_inverse_depth (1, S, S), fov_deg (1,))."""
 
     decoder_features: int = 256
     dims_encoder: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    cfg: DepthProConfig = DepthProConfig()
 
     @nn.compact
     def __call__(self, x: jax.Array):
-        assert x.shape[1] == 1536 and x.shape[2] == 1536, x.shape
+        c = self.cfg
+        assert x.shape[1] == c.img_size and x.shape[2] == c.img_size, x.shape
         d = self.dtype
+        vit = c.vit
+        g = c.window // vit.patch_size            # encoder grid (24)
+        s0f = c.stride0 // vit.patch_size         # merge stride, full res (18)
+        s1f = c.stride1 // vit.patch_size         # merge stride, half res (12)
+        k0 = (c.img_size - c.window) // c.stride0 + 1       # 5
+        k1 = (c.img_size // 2 - c.window) // c.stride1 + 1  # 3
+        n0, n1 = k0 * k0, k1 * k1
 
         # --- image pyramid (on device; bilinear half-pixel like torch) ---
         x0 = x
-        x1 = resize(x, (768, 768), method="linear")
-        x2 = resize(x, (384, 384), method="linear")
+        x1 = resize(x, (c.img_size // 2, c.img_size // 2), method="linear")
+        x2 = resize(x, (c.window, c.window), method="linear")
 
         # --- overlapping patch split -> one batched encoder pass ---
-        p0 = split_overlapping(x0, 384, 288)  # 25
-        p1 = split_overlapping(x1, 384, 192)  # 9
-        patches = jnp.concatenate([p0, p1, x2], axis=0)  # (35, 384, 384, 3)
+        p0 = split_overlapping(x0, c.window, c.stride0)  # n0
+        p1 = split_overlapping(x1, c.window, c.stride1)  # n1
+        patches = jnp.concatenate([p0, p1, x2], axis=0)  # (n0+n1+1, w, w, 3)
 
-        final_idx = VIT_L16_384.depth - 1
+        final_idx = vit.depth - 1
         taps = DinoViT(
-            VIT_L16_384,
-            out_indices=(*HOOK_BLOCK_IDS, final_idx),
-            raw_indices=HOOK_BLOCK_IDS,
+            vit,
+            out_indices=(*c.hook_block_ids, final_idx),
+            raw_indices=c.hook_block_ids,
             dtype=d,
             attn_impl=self.attn_impl,
             name="patch_encoder",
         )(patches)
-        (h0, _), (h1, _), (fin, _) = taps  # each (35, 576, 1024)
+        (h0, _), (h1, _), (fin, _) = taps  # each (n0+n1+1, g*g, dim)
 
-        def grid(t):  # tokens -> (B, 24, 24, C)
-            return t.reshape(t.shape[0], 24, 24, t.shape[-1])
+        def grid(t):  # tokens -> (B, g, g, C)
+            return t.reshape(t.shape[0], g, g, t.shape[-1])
 
-        latent0 = merge_overlapping(grid(h0[:25]), 5, 18)  # (1, 96, 96, 1024)
-        latent1 = merge_overlapping(grid(h1[:25]), 5, 18)
-        f0 = merge_overlapping(grid(fin[:25]), 5, 18)  # 96
-        f1 = merge_overlapping(grid(fin[25:34]), 3, 12)  # 48
-        f_global = grid(fin[34:35])  # 24
+        latent0 = merge_overlapping(grid(h0[:n0]), k0, s0f)
+        latent1 = merge_overlapping(grid(h1[:n0]), k0, s0f)
+        f0 = merge_overlapping(grid(fin[:n0]), k0, s0f)
+        f1 = merge_overlapping(grid(fin[n0 : n0 + n1]), k1, s1f)
+        f_global = grid(fin[n0 + n1 :])  # (1, g, g, dim)
 
-        # --- separate whole-image encoder at 384 ---
+        # --- separate whole-image encoder at the window size ---
         img_taps = DinoViT(
-            VIT_L16_384,
+            vit,
             out_indices=(final_idx,),
             dtype=d,
             attn_impl=self.attn_impl,
             name="image_encoder",
         )(x2)
         img_feat, img_cls = img_taps[0]
-        img_feat = grid(img_feat)  # (1, 24, 24, 1024)
+        img_feat = grid(img_feat)  # (1, g, g, dim)
 
         de = self.dims_encoder
         lvl0 = ProjectUpsample(de[0], 3, d, name="upsample_latent0")(latent0)  # 768
@@ -244,6 +278,6 @@ class DepthPro(nn.Module):
         canonical_inverse_depth = nn.relu(y)[..., 0].astype(jnp.float32)
 
         fov_deg = FOVNetwork(self.decoder_features, d, name="fov")(
-            decoder_out, img_cls
+            decoder_out, img_cls, (g, g)
         )
         return canonical_inverse_depth, fov_deg

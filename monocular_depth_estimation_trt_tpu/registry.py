@@ -182,13 +182,14 @@ def depth_anything_ac(encoder: str = "vits", **kw) -> DepthPipeline:
     return _build_da_family("depth_anything_ac", encoder, **kw)
 
 
-@register("depth_anything_v3")
+@register("depth_anything_v3", fidelity="converter-verified")
 def depth_anything_v3(
     encoder: str = "vitl",
     input_size: int = 518,
     precision: str = "bf16",
     attn_impl: str = "auto",
     params: Any = None,
+    checkpoint: Optional[str] = None,
     **kw,
 ) -> DepthPipeline:
     """DA3METRIC-LARGE contract: metric depth + sky mask
@@ -229,16 +230,25 @@ def depth_anything_v3(
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_depth_anything_v3,
+        )
+
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_depth_anything_v3,
+                                        encoder=encoder),
+        )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
-@register("depth_pro")
+@register("depth_pro", fidelity="converter-verified")
 def depth_pro(
     precision: str = "bf16",
     attn_impl: str = "auto",
     params: Any = None,
     f_px: Optional[float] = None,
+    checkpoint: Optional[str] = None,
     **kw,
 ) -> DepthPipeline:
     """Apple Depth Pro serving contract (reference ``Depth_Pro/onnx2trt.py``):
@@ -283,7 +293,14 @@ def depth_pro(
 
     example = jnp.zeros((1, size, size, 3), jnp.float32)
     if params is None:
-        params = get_or_convert_params(spec.artifact_name(), model, example)
+        from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_depth_pro,
+        )
+
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=convert_depth_pro,
+        )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 

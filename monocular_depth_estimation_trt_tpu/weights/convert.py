@@ -245,6 +245,36 @@ def convert_moge2(state_dict: Mapping, encoder: str = "vits",
     }
 
 
+def convert_depth_anything_v3(state_dict: Mapping, encoder: str = "vitl",
+                              depth: Optional[int] = None) -> Dict:
+    """DA-V3 checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_da3.py::TorchDepthAnythingV3``) -> Flax params for
+    :class:`models.depth_anything_v3.DepthAnythingV3`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    head: Dict[str, Any] = {}
+    for i in range(4):
+        head[f"project_{i}"] = conv2d(sd, f"head.projects.{i}")
+    head["resize_0"] = conv_transpose_shuffle(sd, "head.resize_layers.0")
+    head["resize_1"] = conv_transpose_shuffle(sd, "head.resize_layers.1")
+    head["resize_3"] = conv2d(sd, "head.resize_layers.3")
+    for i in range(1, 5):
+        head[f"layer{i}_rn"] = conv2d(sd, f"head.layer{i}_rn")
+        head[f"refinenet{i}"] = _fusion_block(sd, f"head.refinenet{i}")
+    head["output_conv1"] = conv2d(sd, "head.output_conv1")
+    head["depth_conv0"] = conv2d(sd, "head.depth_branch.0")
+    head["depth_conv2"] = conv2d(sd, "head.depth_branch.2")
+    head["sky_conv0"] = conv2d(sd, "head.sky_branch.0")
+    head["sky_conv2"] = conv2d(sd, "head.sky_branch.2")
+    return {
+        "backbone": convert_dinovit(sd, "backbone", depth),
+        "head": head,
+    }
+
+
 def _fusion_block(sd: Mapping, prefix: str) -> Dict:
     return {
         "resConfUnit1": {
@@ -256,6 +286,53 @@ def _fusion_block(sd: Mapping, prefix: str) -> Dict:
             "conv2": conv2d(sd, f"{prefix}.resConfUnit2.conv2"),
         },
         "out_conv": conv2d(sd, f"{prefix}.out_conv"),
+    }
+
+
+def convert_depth_pro(state_dict: Mapping, vit_depth: int = 24,
+                      num_fusions: int = 5) -> Dict:
+    """Depth Pro checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_depth_pro.py::TorchDepthPro``) -> Flax params for
+    :class:`models.depth_pro.DepthPro`."""
+    sd = state_dict
+
+    def proj_up(prefix, n_up):
+        p = {"proj": conv2d(sd, f"{prefix}.proj")}
+        for i in range(n_up):
+            p[f"up_{i}"] = conv_transpose_shuffle(sd, f"{prefix}.ups.{i}")
+        return p
+
+    dec: Dict[str, Any] = {}
+    for i in range(num_fusions):
+        if f"decoder.convs.{i}.weight" in sd:
+            dec[f"conv_{i}"] = conv2d(sd, f"decoder.convs.{i}")
+        fb = _fusion_block(sd, f"decoder.fusions.{i}")
+        if i == num_fusions - 1:
+            # the coarsest fusion takes a single input -> no resConfUnit1
+            fb.pop("resConfUnit1")
+        dec[f"fusion_{i}"] = fb
+    return {
+        "patch_encoder": convert_dinovit(sd, "patch_encoder", vit_depth),
+        "image_encoder": convert_dinovit(sd, "image_encoder", vit_depth),
+        "upsample_latent0": proj_up("upsample_latent0", 3),
+        "upsample_latent1": proj_up("upsample_latent1", 2),
+        "upsample0": proj_up("upsample0", 1),
+        "upsample1": proj_up("upsample1", 1),
+        "upsample2": proj_up("upsample2", 1),
+        "upsample_lowres": conv_transpose_shuffle(sd, "upsample_lowres"),
+        "fuse_lowres": conv2d(sd, "fuse_lowres"),
+        "decoder": dec,
+        "head_conv0": conv2d(sd, "head_conv0"),
+        "head_up": conv_transpose_shuffle(sd, "head_up"),
+        "head_conv1": conv2d(sd, "head_conv1"),
+        "head_conv2": conv2d(sd, "head_conv2"),
+        "fov": {
+            "down0": conv2d(sd, "fov.down0"),
+            "fov_proj": linear(sd, "fov.fov_proj"),
+            "down1": conv2d(sd, "fov.down1"),
+            "down2": conv2d(sd, "fov.down2"),
+            "head": linear(sd, "fov.head"),
+        },
     }
 
 

@@ -131,7 +131,8 @@ class TorchDinoViT(nn.Module):
         patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, ph * pw, self.dim)
         return torch.cat([cls_pos, patch_pos], dim=1)
 
-    def get_intermediate_layers(self, x, idxs, return_class_token=True):
+    def get_intermediate_layers(self, x, idxs, return_class_token=True,
+                                raw_idxs=()):
         B = x.shape[0]
         ph, pw = x.shape[2] // self.patch, x.shape[3] // self.patch
         x = self.patch_embed(x).flatten(2).transpose(1, 2)  # B, N, D
@@ -145,7 +146,7 @@ class TorchDinoViT(nn.Module):
         for i, blk in enumerate(self.blocks):
             x = blk(x)
             if i in idxs:
-                y = self.norm(x)
+                y = x if i in raw_idxs else self.norm(x)
                 outs.append((y[:, 1 + self.num_register_tokens :], y[:, 0]))
         return outs
 
