@@ -54,24 +54,22 @@ def test_depth_pro_patch_counts():
 @pytest.mark.slow
 def test_depth_pro_tiny_forward(rng):
     """Scaled-down DepthPro graph: exercise pyramid/split/merge/decoder/fov
-    wiring with a tiny ViT (done via monkeypatched config)."""
+    wiring at the ratio-preserving 512px tiny preset (DepthProConfig)."""
     import monocular_depth_estimation_trt_tpu.models.depth_pro as dp
 
-    tiny = ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16, pretrain_img_size=384)
-    orig, orig_hooks = dp.VIT_L16_384, dp.HOOK_BLOCK_IDS
-    dp.VIT_L16_384 = tiny
-    dp.HOOK_BLOCK_IDS = (0, 1)
-    try:
-        model = dp.DepthPro(
-            decoder_features=16, dims_encoder=(8, 16, 32, 32), dtype=jnp.float32,
-            attn_impl="xla",
-        )
-        x = jnp.asarray(rng.standard_normal((1, 1536, 1536, 3)).astype(np.float32))
-        params = model.init(jax.random.PRNGKey(0), x)["params"]
-        cid, fov = model.apply({"params": params}, x)
-        assert cid.shape == (1, 1536, 1536)
-        assert fov.shape == (1,)
-        assert np.isfinite(np.asarray(cid)).all()
-    finally:
-        dp.VIT_L16_384 = orig
-        dp.HOOK_BLOCK_IDS = orig_hooks
+    cfg = dp.DepthProConfig(
+        img_size=512, window=128, stride0=96, stride1=64,
+        vit_config=ViTConfig(dim=32, depth=2, num_heads=2, patch_size=16,
+                             pretrain_img_size=128),
+        hook_block_ids=(0, 1),
+    )
+    model = dp.DepthPro(
+        decoder_features=16, dims_encoder=(8, 16, 32, 32), dtype=jnp.float32,
+        attn_impl="xla", cfg=cfg,
+    )
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    cid, fov = model.apply({"params": params}, x)
+    assert cid.shape == (1, 512, 512)
+    assert fov.shape == (1,)
+    assert np.isfinite(np.asarray(cid)).all()
