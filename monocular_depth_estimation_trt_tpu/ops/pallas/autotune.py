@@ -1,0 +1,129 @@
+"""Per-shape block-size autotuning for the flash-attention kernel.
+
+The TRT role model autotunes kernel tactics at engine-build time and
+persists a timing cache (reference ``common.py:133-146``). Same idea here:
+the first time a (batch*heads, N, d) attention shape is seen on a TPU
+backend with autotuning enabled, every legal q-block size is timed and the
+winner is persisted to a JSON timing cache under the framework cache dir;
+later builds (and later processes) reuse it.
+
+Resolution order for the q-block:
+1. explicit ``blk_q`` argument;
+2. persistent timing-cache entry for the padded shape;
+3. measured-defaults heuristic (v5e, 2026-08): one whole-N block wins for
+   N_pad <= 2048 at head_dim 64 (the score tile fits VMEM and avoids grid
+   overhead); 256 otherwise.
+
+Enable measurement with ``MDET_AUTOTUNE=1`` (off by default so jit traces
+never spend minutes timing; the heuristic defaults are from hardware runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+_CACHE: Optional[Dict[str, int]] = None
+
+
+def _cache_path() -> str:
+    from monocular_depth_estimation_trt_tpu.config import cache_dir
+
+    return os.path.join(cache_dir(), "attention_tuning.json")
+
+
+def _load_cache() -> Dict[str, int]:
+    global _CACHE
+    if _CACHE is None:
+        try:
+            with open(_cache_path()) as f:
+                _CACHE = {k: int(v) for k, v in json.load(f).items()}
+        except Exception:
+            _CACHE = {}
+    return _CACHE
+
+
+def _save_cache() -> None:
+    if _CACHE is None:
+        return
+    try:
+        with open(_cache_path(), "w") as f:
+            json.dump(_CACHE, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+def candidate_blocks(n_pad: int) -> Tuple[int, ...]:
+    """Legal q-block sizes: divide n_pad, multiple of 8, >= 128 lanes of
+    work per program (tiny blocks are never competitive)."""
+    out = []
+    for blk in (128, 176, 256, 352, 512, 704, 1024, 1408, 2048):
+        if blk <= n_pad and n_pad % blk == 0:
+            out.append(blk)
+    if n_pad not in out and n_pad % 8 == 0:
+        out.append(n_pad)
+    return tuple(out)
+
+
+def default_block(n_pad: int, d_pad: int) -> int:
+    # measured on v5e (see docs/PERF.md): the whole-N block wins up to 2048
+    # tokens at d<=64 — the fp32 score tile (N^2*4B <= 16MB) fits VMEM and
+    # per-program overhead dominates otherwise
+    if n_pad <= 2048 and d_pad <= 64:
+        return n_pad
+    return 256
+
+
+def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    shape = (1, bh, n_pad, d_pad)
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
+
+    best, best_t = None, float("inf")
+    for blk in candidate_blocks(n_pad):
+        fn = jax.jit(
+            lambda q, k, v, blk=blk: flash_attention(q, k, v, blk_q=blk)
+        )
+        out = fn(q, k, v)
+        np.asarray(out.ravel()[0:1])
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out = fn(q, k, v)
+        np.asarray(out.ravel()[0:1])
+        t = time.perf_counter() - t0
+        if t < best_t:
+            best, best_t = blk, t
+    return best or default_block(n_pad, d_pad)
+
+
+def best_block(bh: int, n_pad: int, d_pad: int, dtype) -> int:
+    """Resolve the q-block for a padded attention shape (trace-time)."""
+    key = f"bh{bh}_n{n_pad}_d{d_pad}"
+    cache = _load_cache()
+    if key in cache:
+        return cache[key]
+    import jax
+
+    if (
+        os.environ.get("MDET_AUTOTUNE", "0") == "1"
+        and jax.default_backend() == "tpu"
+    ):
+        blk = _measure(bh, n_pad, d_pad, dtype)
+        cache[key] = blk
+        _save_cache()
+        return blk
+    return default_block(n_pad, d_pad)

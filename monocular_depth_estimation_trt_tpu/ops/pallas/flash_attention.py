@@ -71,14 +71,16 @@ def flash_attention(
     v: jax.Array,
     *,
     scale: Optional[float] = None,
-    blk_q: int = 256,
+    blk_q: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Multi-head attention, shapes ``(B, H, N, d)`` -> ``(B, H, N, d)``.
 
     Non-causal (ViT encoders are bidirectional). N and d may be arbitrary;
-    padding to TPU tile boundaries is internal. On non-TPU backends the kernel
-    runs in Pallas interpret mode (tests); production path is TPU.
+    padding to TPU tile boundaries is internal. ``blk_q=None`` resolves the
+    q-block through the per-shape timing cache / measured defaults
+    (``ops/pallas/autotune.py``). On non-TPU backends the kernel runs in
+    Pallas interpret mode (tests); production path is TPU.
     """
     b, h, n, d = q.shape
     if interpret is None:
@@ -90,9 +92,16 @@ def flash_attention(
     # pad d to a lane-friendly size but do NOT round 64 up to 128 — that
     # doubles QK^T and PV FLOPs for the common ViT head_dim=64
     d_pad = 64 if d <= 64 else _round_up(d, 128)
+    if blk_q is None:
+        from monocular_depth_estimation_trt_tpu.ops.pallas.autotune import (
+            best_block,
+        )
+
+        blk_q = best_block(b * h, n_pad, d_pad, q.dtype)
     blk_q = min(blk_q, n_pad)
-    while n_pad % blk_q:
+    while n_pad % blk_q or blk_q % 8:
         blk_q //= 2
+    blk_q = max(blk_q, 8)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)))
