@@ -38,12 +38,58 @@ SUITE = [
 ]
 
 
+def _run_isolated(tag: str, quick: bool, retries: int = 2) -> dict:
+    """Benchmark one model in a fresh subprocess.
+
+    The development TPU worker occasionally crashes ('kernel fault'); in a
+    single process that kills the jax backend for every subsequent model.
+    Per-row subprocesses + retries keep one flake from poisoning the suite
+    (the persistent XLA cache makes re-runs cheap)."""
+    import subprocess
+    import sys
+
+    last = {"model": tag, "error": "no attempts"}
+    for attempt in range(retries + 1):
+        cmd = [sys.executable, __file__, "--models", tag, "--out", "-"]
+        if quick:
+            cmd.append("--quick")
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=3600)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and f'"model": "{tag}"' in line:
+                row = json.loads(line)
+                if "error" not in row:
+                    return row
+                last = row
+        if proc.returncode != 0 and "error" not in last:
+            last = {"model": tag, "error": f"exit {proc.returncode}"}
+        print(f"[bench_all] {tag}: attempt {attempt + 1} failed, retrying")
+    return last
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="20 iterations")
     ap.add_argument("--models", default="", help="comma-separated subset")
     ap.add_argument("--out", default="BENCH_ALL.json")
+    ap.add_argument("--isolate", action="store_true",
+                    help="one subprocess per model with retries (robust "
+                    "against TPU-worker crashes)")
     args = ap.parse_args()
+
+    if args.isolate:
+        subset = {s for s in args.models.split(",") if s}
+        results = []
+        for name, kw, in_hw, baseline in SUITE:
+            tag = name + ("_" + kw.get("encoder", "") if kw.get("encoder") else "")
+            if subset and name not in subset and tag not in subset:
+                continue
+            row = _run_isolated(tag, args.quick)
+            results.append(row)
+            print(json.dumps(row))
+        _finish(results, args.out)
+        return
 
     from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
     from monocular_depth_estimation_trt_tpu.registry import (
@@ -92,15 +138,18 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row))
 
-    with open(args.out, "w") as f:
-        json.dump(
-            {"timestamp": time.time(), "results": results}, f, indent=2
-        )
-    print(f"\nwrote {args.out}")
+    _finish(results, args.out)
+
+
+def _finish(results, out_path: str) -> None:
+    if out_path != "-":
+        with open(out_path, "w") as f:
+            json.dump(
+                {"timestamp": time.time(), "results": results}, f, indent=2
+            )
+        print(f"\nwrote {out_path}")
     ok = [r for r in results if r.get("speedup_vs_trt")]
     if ok:
-        import statistics
-
         geo = np.exp(np.mean([np.log(r["speedup_vs_trt"]) for r in ok]))
         print(f"geomean speedup vs reference TRT over {len(ok)} models: {geo:.2f}x")
 

@@ -92,15 +92,17 @@ def rescale_intrinsics(
 
 def normalized_view_plane_uv(h: int, w: int, dtype=jnp.float32) -> jax.Array:
     """(H, W, 2) view-plane coordinates spanning [-w/diag, w/diag] x
-    [-h/diag, h/diag] at pixel centers (MoGe convention)."""
+    [-h/diag, h/diag] at pixel centers (MoGe convention).
+
+    Computed in numpy at trace time (shapes are static) and baked into the
+    program as a constant: the broadcast-iota formulation, when fused into
+    recover_focal_shift's candidate search + Gauss-Newton program, triggered
+    a TPU kernel fault on the 2026-08 axon runtime."""
     diag = float(np.sqrt(h * h + w * w))
-    span_x = w / diag
-    span_y = h / diag
-    u = (jnp.arange(w, dtype=dtype) + 0.5) / w * 2.0 - 1.0
-    v = (jnp.arange(h, dtype=dtype) + 0.5) / h * 2.0 - 1.0
-    uu = jnp.broadcast_to(u[None, :] * span_x, (h, w))
-    vv = jnp.broadcast_to(v[:, None] * span_y, (h, w))
-    return jnp.stack([uu, vv], axis=-1)
+    u = ((np.arange(w) + 0.5) / w * 2.0 - 1.0) * (w / diag)
+    v = ((np.arange(h) + 0.5) / h * 2.0 - 1.0) * (h / diag)
+    uv = np.stack(np.broadcast_arrays(u[None, :], v[:, None]), axis=-1)
+    return jnp.asarray(uv, dtype)
 
 
 def recover_focal_shift(
