@@ -31,6 +31,10 @@ SUITE = [
     ("depth_pro", {}, (1536, 1536), 1.41),
     ("vggt", {"depth_only": True}, (518, 518), 7.15),
     ("streamvggt", {}, (518, 518), 5.77),
+    # staged families (reference later/ — no published TRT baselines)
+    ("dkt", {"encoder": "vits"}, (518, 518), None),
+    ("bridge", {"encoder": "vits"}, (518, 518), None),
+    ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),
     ("neuflow", {}, (288, 512), 25.88),
     ("meflow", {}, (288, 512), 18.52),

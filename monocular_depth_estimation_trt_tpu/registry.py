@@ -182,6 +182,26 @@ def depth_anything_ac(encoder: str = "vits", **kw) -> DepthPipeline:
     return _build_da_family("depth_anything_ac", encoder, **kw)
 
 
+@register("dkt", fidelity="converter-verified")
+def dkt(encoder: str = "vits", metric: bool = True, dataset: str = "hypersim",
+        **kw) -> DepthPipeline:
+    """DKT (Diffusion Knows Transparency) — transparent-object depth distilled
+    into the Depth Anything V2 serving graph. The reference exports it as the
+    stock ``DepthAnythingV2`` class (``later/DKT/onnx_export.py:8-9,26-32``:
+    encoder vits, metric hypersim by default), so the DA converter applies."""
+    return _build_da_family("dkt", encoder, metric=metric, dataset=dataset,
+                            **kw)
+
+
+@register("bridge", fidelity="architecture-matched")
+def bridge(encoder: str = "vits", **kw) -> DepthPipeline:
+    """BRIDGE (RL depth-to-image data engine) — DA-V2-style DPT serving graph
+    at 518^2 (``later/BRIDGE/infer.py:52-54,76-77``, ``tt.py:10``: vits/vitb/
+    vitg encoders, ``clamp(1e-3, 1e3)`` postprocess — the family default
+    here). Trained differently, served identically."""
+    return _build_da_family("bridge", encoder, **kw)
+
+
 @register("depth_anything_v3", fidelity="converter-verified")
 def depth_anything_v3(
     encoder: str = "vitl",
@@ -673,6 +693,19 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
     over the same weights (``models/streamvggt.py``)."""
     return _build_vggt("streamvggt", input_size, precision, attn_impl, params,
                        with_camera=False, checkpoint=checkpoint)
+
+
+@register("litevggt", fidelity="architecture-matched")
+def litevggt(input_size: int = 518, precision: str = "bf16",
+             attn_impl: str = "auto", params: Any = None,
+             checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+    """LiteVGGT — distilled VGGT served through the vanilla VGGT graph
+    (``later/LiteVGGT/infer.py:26-31``: stock ``VGGT()`` + ``te_dict.pt``
+    loaded ``strict=False``, bf16, camera + depth heads). The upstream
+    speedup (geometry-aware cached token merging) is a serving optimization
+    on the same weights; ``convert_vggt`` applies unchanged."""
+    return _build_vggt("litevggt", input_size, precision, attn_impl, params,
+                       with_camera=True, checkpoint=checkpoint)
 
 
 # ---------------------------------------------------------------------------

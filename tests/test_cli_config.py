@@ -51,3 +51,14 @@ def test_registry_covers_reference_model_dirs():
     }
     missing = expected - models
     assert not missing, f"unregistered reference models: {missing}"
+
+
+def test_registry_covers_staged_model_dirs():
+    """Substantive reference ``later/`` staging dirs promoted to registered
+    entries (docs/STAGING.md)."""
+    from monocular_depth_estimation_trt_tpu.registry import list_models
+
+    models = set(list_models())
+    staged = {"dkt", "bridge", "litevggt"}
+    missing = staged - models
+    assert not missing, f"unregistered staged models: {missing}"
