@@ -33,6 +33,7 @@ SUITE = [
     ("streamvggt", {}, (518, 518), 5.77),
     # staged families (reference later/ — no published TRT baselines)
     ("dkt", {"encoder": "vits"}, (518, 518), None),
+    ("flashdepth", {"encoder": "vits"}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),

@@ -92,6 +92,10 @@ def run_video(
     writer = cv2.VideoWriter(
         out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
     )
+    # temporal models (FlashDepth) expose a stateful per-video session whose
+    # recurrent state rides on device between frames; each video is a fresh
+    # sequence (reference later/FlashDepth/wrapper.py:13 start_new_sequence)
+    runner = pipeline.stream() if hasattr(pipeline, "stream") else pipeline
     n = 0
     while True:
         ok, frame_bgr = cap.read()
@@ -99,7 +103,7 @@ def run_video(
             break
         rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
         t0 = time.perf_counter()
-        out = pipeline(rgb, viz=True)
+        out = runner(rgb, viz=True)
         dt = time.perf_counter() - t0
         viz = cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
         if viz.shape[:2] != (h, w):

@@ -695,6 +695,133 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=False, checkpoint=checkpoint)
 
 
+@register("flashdepth", fidelity="converter-verified")
+def flashdepth(encoder: str = "vits", input_size: int = 518,
+               precision: str = "bf16", attn_impl: str = "auto",
+               params: Any = None, checkpoint: Optional[str] = None,
+               **kw) -> DepthPipeline:
+    """FlashDepth streaming video depth (reference ``later/FlashDepth/``):
+    per-frame DA-style DPT with a Mamba temporal module whose state persists
+    across frames (``wrapper.py:9-25``, ``infer.py:104-130``). Single-image
+    calls start a fresh sequence; ``pipe.stream()`` returns a stateful
+    session (used by ``apps.streaming.run_video``) whose SSM state stays
+    device-resident between frames."""
+    import jax
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flashdepth import (
+        FlashDepth,
+        flashdepth_init_state,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_flashdepth,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model="flashdepth", encoder=encoder, input_hw=(input_size, input_size),
+        precision=precision,
+    )
+    model = FlashDepth(
+        encoder=encoder, dtype=compute_dtype(precision), attn_impl=attn_impl
+    )
+    patch = (input_size // 14, input_size // 14)
+
+    def preprocess(img_u8):
+        # reference load_image (later/FlashDepth/infer.py:32-67): INTER_CUBIC
+        # resize to a multiple-of-14 target + ImageNet normalize
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="cubic")
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+
+    def forward_state(p, img_u8, out_hw, state):
+        depth, new_state = model.apply({"params": p}, preprocess(img_u8), state)
+        depth = upsample_depth(depth, out_hw, clamp=None)[0]
+        return {"depth": jnp.maximum(depth, 0.0)}, new_state
+
+    def forward(p, img_u8, out_hw):
+        # stateless serving: every image is its own sequence
+        state = flashdepth_init_state(model, 1, patch)
+        out, _ = forward_state(p, img_u8, out_hw, state)
+        return out
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(),
+            model,
+            (example, flashdepth_init_state(model, 1, patch)),
+            torch_ckpt=checkpoint,
+            converter=functools.partial(convert_flashdepth, encoder=encoder),
+        )
+
+    class FlashDepthSession:
+        """Stateful per-frame depth: the Mamba state rides on device between
+        calls (one jitted step program; no host round-trip for the state)."""
+
+        def __init__(self, pipe):
+            self.pipe = pipe
+            self._state = None
+            self._engines = {}
+
+        def reset(self):
+            """Upstream ``mamba.start_new_sequence()`` (wrapper.py:13)."""
+            self._state = None
+
+        def __call__(self, image_u8, *, viz: bool = False):
+            from monocular_depth_estimation_trt_tpu.ops.colormap import (
+                turbo_colormap,
+            )
+            from monocular_depth_estimation_trt_tpu.ops.postprocess import (
+                normalize_depth_for_viz,
+            )
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+                tree_get_chunked,
+            )
+
+            h, w = image_u8.shape[:2]
+            if self._state is None:
+                self._state = flashdepth_init_state(model, 1, patch)
+            key = ((h, w), viz)
+            if key not in self._engines:
+                def run(p, img, state, _hw=(h, w), _viz=viz):
+                    out, new_state = forward_state(p, img, _hw, state)
+                    if _viz:
+                        out["viz"] = turbo_colormap(
+                            normalize_depth_for_viz(out["depth"])
+                        )
+                    return out, new_state
+
+                self._engines[key] = Engine(
+                    run,
+                    (self.pipe.params,
+                     jax.ShapeDtypeStruct((h, w, 3), jnp.uint8),
+                     self._state),
+                    name=f"{spec.artifact_name()}_stream_{h}x{w}"
+                    + ("_viz" if viz else ""),
+                )
+            out, self._state = self._engines[key](
+                self.pipe.params, device_put_chunked(np.asarray(image_u8)),
+                self._state,
+            )
+            return tree_get_chunked(out)
+
+    class FlashDepthPipeline(DepthPipeline):
+        def stream(self):
+            return FlashDepthSession(self)
+
+    return FlashDepthPipeline(spec, forward, params, viz="relative")
+
+
 @register("litevggt", fidelity="architecture-matched")
 def litevggt(input_size: int = 518, precision: str = "bf16",
              attn_impl: str = "auto", params: Any = None,

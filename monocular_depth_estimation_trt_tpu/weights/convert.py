@@ -275,6 +275,36 @@ def convert_depth_anything_v3(state_dict: Mapping, encoder: str = "vitl",
     }
 
 
+def convert_flashdepth(state_dict: Mapping, encoder: str = "vits",
+                       depth: Optional[int] = None) -> Dict:
+    """FlashDepth checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_flashdepth.py::TorchFlashDepth``; mamba names follow
+    the official ``mamba_ssm`` block) -> Flax params for
+    :class:`models.flashdepth.FlashDepth`."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    head = convert_dpt_head(sd, "depth_head")
+    head["temporal_norm"] = layernorm(sd, "depth_head.temporal_norm")
+    head["mamba"] = {
+        "in_proj": linear(sd, "depth_head.mamba.in_proj"),
+        "x_proj": linear(sd, "depth_head.mamba.x_proj"),
+        "dt_proj": linear(sd, "depth_head.mamba.dt_proj"),
+        "out_proj": linear(sd, "depth_head.mamba.out_proj"),
+        "A_log": _t(sd["depth_head.mamba.A_log"]),
+        "D": _t(sd["depth_head.mamba.D"]),
+        # torch depthwise Conv1d weight (d_inner, 1, k) -> (k, d_inner)
+        "conv1d_kernel": _t(sd["depth_head.mamba.conv1d.weight"])[:, 0, :].T,
+        "conv1d_bias": _t(sd["depth_head.mamba.conv1d.bias"]),
+    }
+    return {
+        "pretrained": convert_dinovit(sd, "pretrained", depth),
+        "depth_head": head,
+    }
+
+
 def _fusion_block(sd: Mapping, prefix: str) -> Dict:
     return {
         "resConfUnit1": {
