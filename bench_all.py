@@ -34,6 +34,7 @@ SUITE = [
     # staged families (reference later/ — no published TRT baselines)
     ("dkt", {"encoder": "vits"}, (518, 518), None),
     ("flashdepth", {"encoder": "vits"}, (518, 518), None),
+    ("prior_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),

@@ -835,6 +835,113 @@ def litevggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=True, checkpoint=checkpoint)
 
 
+@register("prior_depth_anything", fidelity="converter-verified")
+def prior_depth_anything(encoder: str = "vits", input_size: int = 518,
+                         precision: str = "bf16", attn_impl: str = "auto",
+                         params: Any = None,
+                         checkpoint: Optional[str] = None,
+                         vggt_checkpoint: Optional[str] = None,
+                         **kw) -> DepthPipeline:
+    """Prior Depth Anything (reference ``later/Prior_Depth_Anything/``):
+    VGGT coarse depth + confidence, refined by a prior-conditioned DA stack
+    (``infer.py:190-217``: aggregator -> depth_head -> Refiner.predict(image,
+    depth_map, confidence)). The whole chain fuses into ONE jitted program.
+    ``checkpoint`` loads the refiner; ``vggt_checkpoint`` the VGGT backbone
+    (cached params are shared with the ``vggt`` pipeline)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.prior_depth import PriorDARefiner
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        preprocess_pad_square,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_prior_depth,
+        convert_vggt,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    dtype = compute_dtype(precision)
+    cfg = VGGTConfig()
+    vggt_model = VGGT(cfg=cfg, dtype=dtype, attn_impl=attn_impl,
+                      with_camera=False)
+    refiner = PriorDARefiner(encoder=encoder, dtype=dtype,
+                             attn_impl=attn_impl)
+
+    spec = ModelSpec(
+        model="prior_depth_anything", encoder=encoder,
+        input_hw=(input_size, input_size), precision=precision, metric=True,
+    )
+
+    def forward(p, img_u8, out_hw):
+        h0, w0 = out_hw
+        x = preprocess_pad_square(img_u8, input_size)  # (1, 518, 518, 3)
+        out = vggt_model.apply({"params": p["vggt"]}, x[:, None])
+        depth_sq = out["depth"][:, 0]
+        conf_sq = out["depth_conf"][:, 0]
+        # refiner conditions on the SAME square view, ImageNet-normalized
+        rgb = normalize(x, IMAGENET_MEAN, IMAGENET_STD)
+        refined = refiner.apply(
+            {"params": p["refiner"]}, rgb, depth_sq, conf_sq
+        )
+        # crop the square padding out + upsample (as the vggt pipeline does)
+        side = max(h0, w0)
+        top = int(round((side - h0) / 2 / side * input_size))
+        left = int(round((side - w0) / 2 / side * input_size))
+        hh = max(int(round(h0 / side * input_size)), 1)
+        ww = max(int(round(w0 / side * input_size)), 1)
+
+        def crop_up(d):
+            return upsample_depth(
+                d[:, top : top + hh, left : left + ww], out_hw,
+                clamp=(1e-3, 1e3),
+            )[0]
+
+        return {
+            "depth": crop_up(refined),
+            "depth_vggt": crop_up(depth_sq),
+            "confidence": upsample_depth(
+                conf_sq[:, top : top + hh, left : left + ww], out_hw,
+                clamp=None,
+            )[0],
+        }
+
+    if params is None:
+        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+        vggt_example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+        vggt_spec = ModelSpec(
+            model="vggt", input_hw=(input_size, input_size),
+            precision=precision, metric=True,
+        )
+        vggt_params = get_or_convert_params(
+            # depth-only graph is a sub-tree of the full vggt params; name it
+            # separately so the cache round-trips with the right structure
+            vggt_spec.artifact_name() + "_depthonly",
+            vggt_model, vggt_example, torch_ckpt=vggt_checkpoint,
+            converter=functools.partial(
+                convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
+                with_camera=False,
+            ),
+        )
+        ref_example = (
+            jnp.zeros((1, input_size, input_size, 3), jnp.float32),
+            jnp.zeros((1, input_size, input_size), jnp.float32),
+            jnp.ones((1, input_size, input_size), jnp.float32),
+        )
+        refiner_params = get_or_convert_params(
+            spec.artifact_name() + "_refiner", refiner, ref_example,
+            torch_ckpt=checkpoint,
+            converter=functools.partial(convert_prior_depth, encoder=encoder),
+        )
+        params = {"vggt": vggt_params, "refiner": refiner_params}
+
+    return DepthPipeline(spec, forward, params, viz="metric")
+
+
 # ---------------------------------------------------------------------------
 # Optical flow family (reference RAFT/, NeuFlow/, MeFlow/, MEMFOF/)
 # ---------------------------------------------------------------------------

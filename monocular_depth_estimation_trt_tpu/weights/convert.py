@@ -305,6 +305,26 @@ def convert_flashdepth(state_dict: Mapping, encoder: str = "vits",
     }
 
 
+def convert_prior_depth(state_dict: Mapping, encoder: str = "vits",
+                        depth: Optional[int] = None) -> Dict:
+    """Prior Depth Anything checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_prior.py::TorchPriorDARefiner``) -> Flax params for
+    :class:`models.prior_depth.PriorDARefiner` (frozen MDE + 6-channel
+    conditioned refiner; both are DINOv2+DPT stacks, so the DA converters
+    apply per sub-model)."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    return {
+        "mde": convert_dinovit(sd, "mde", depth),
+        "mde_head": convert_dpt_head(sd, "mde_head"),
+        "cond": convert_dinovit(sd, "cond", depth),
+        "refine_head": convert_dpt_head(sd, "refine_head"),
+    }
+
+
 def _fusion_block(sd: Mapping, prefix: str) -> Dict:
     return {
         "resConfUnit1": {

@@ -59,6 +59,7 @@ def test_registry_covers_staged_model_dirs():
     from monocular_depth_estimation_trt_tpu.registry import list_models
 
     models = set(list_models())
-    staged = {"dkt", "bridge", "litevggt", "flashdepth"}
+    staged = {"dkt", "bridge", "litevggt", "flashdepth",
+              "prior_depth_anything"}
     missing = staged - models
     assert not missing, f"unregistered staged models: {missing}"

@@ -89,9 +89,9 @@ class TorchBlock(nn.Module):
 
 
 class TorchPatchEmbed(nn.Module):
-    def __init__(self, dim, patch):
+    def __init__(self, dim, patch, in_ch=3):
         super().__init__()
-        self.proj = nn.Conv2d(3, dim, patch, patch)
+        self.proj = nn.Conv2d(in_ch, dim, patch, patch)
 
     def forward(self, x):
         return self.proj(x)
@@ -101,13 +101,13 @@ class TorchDinoViT(nn.Module):
     """DINOv2 encoder; names match upstream checkpoints."""
 
     def __init__(self, dim, depth, num_heads, patch=14, pretrain_img=518, ffn="mlp",
-                 num_register_tokens=0):
+                 num_register_tokens=0, in_ch=3):
         super().__init__()
         self.patch = patch
         self.dim = dim
         self.num_register_tokens = num_register_tokens
         grid = pretrain_img // patch
-        self.patch_embed = TorchPatchEmbed(dim, patch)
+        self.patch_embed = TorchPatchEmbed(dim, patch, in_ch)
         self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
         self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, dim))
         if num_register_tokens:
