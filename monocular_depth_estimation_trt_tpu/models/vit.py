@@ -48,6 +48,12 @@ class ViTConfig:
     pretrain_img_size: int = 518
     layerscale_init: float = 1e-5
     qkv_bias: bool = True
+    # DINOv3-style position handling: 2D axial RoPE on patch tokens in every
+    # attention layer instead of an interpolated learned table (reference
+    # later/DINOv3/ — resolution-free by construction)
+    rope: bool = False
+    rope_base: float = 100.0
+    pos_embed: bool = True
 
     @property
     def pretrain_grid(self) -> int:
@@ -70,6 +76,30 @@ def swiglu_hidden(dim: int, mlp_ratio: float = 4.0) -> int:
     return (int(h * 2 / 3) + 7) // 8 * 8
 
 
+def rope_2d_normalized(
+    ph: int, pw: int, head_dim: int, base: float = 100.0
+) -> Tuple[jax.Array, jax.Array]:
+    """2D axial RoPE tables over a patch grid with coordinates normalized to
+    [-1, 1] (resolution-independent, the DINOv3 convention). Half the head
+    dims rotate with y, half with x. Returns (cos, sin), (ph*pw, head_dim//2).
+    """
+    d4 = head_dim // 4
+    freqs = jnp.asarray(base ** (-np.arange(d4) / d4), jnp.float32)
+    ys = (jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0).reshape(-1) + 0.5) / ph * 2 - 1
+    xs = (jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1).reshape(-1) + 0.5) / pw * 2 - 1
+    ang = jnp.pi * jnp.concatenate(
+        [ys[:, None] * freqs[None], xs[:, None] * freqs[None]], axis=-1
+    )
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(t: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """t: (..., N, d); rotate (even, odd) pairs by per-position angles."""
+    t1, t2 = t[..., 0::2], t[..., 1::2]
+    out = jnp.stack([t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
+    return out.reshape(t.shape)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
@@ -78,7 +108,10 @@ class Attention(nn.Module):
     attn_impl: str = "auto"  # "auto" | "flash" | "xla"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, rope=None) -> jax.Array:
+        """``rope``: optional ((cos, sin), num_prefix) — rotary tables for the
+        trailing patch tokens; the ``num_prefix`` leading tokens (cls +
+        registers) stay unrotated."""
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
@@ -87,6 +120,17 @@ class Attention(nn.Module):
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, d)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
+
+        if rope is not None:
+            (cos, sin), prefix = rope
+            cos = cos.astype(q.dtype)
+            sin = sin.astype(q.dtype)
+
+            def rot(t):
+                patches = _apply_rope(t[:, :, prefix:], cos, sin)
+                return jnp.concatenate([t[:, :, :prefix], patches], axis=2)
+
+            q, k = rot(q), rot(k)
 
         impl = self.attn_impl
         if impl == "auto":
@@ -161,7 +205,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, rope=None) -> jax.Array:
         c = self.cfg
         # LayerNorms accumulate in fp32 for numerical parity with torch.
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
@@ -172,7 +216,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(h)
+        )(h, rope=rope)
         x = x + LayerScale(c.dim, c.layerscale_init, dtype=self.dtype, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         if c.ffn == "swiglu":
@@ -228,15 +272,16 @@ class DinoViT(nn.Module):
         ).astype(self.dtype)
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, c.dim)), x], axis=1)
 
-        n0 = c.pretrain_grid * c.pretrain_grid
-        pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.normal(stddev=0.02),
-            (1, n0 + 1, c.dim),
-        )
-        x = x + interpolate_pos_embed(
-            pos_embed, c.pretrain_grid, (ph, pw)
-        ).astype(self.dtype)
+        if c.pos_embed:
+            n0 = c.pretrain_grid * c.pretrain_grid
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (1, n0 + 1, c.dim),
+            )
+            x = x + interpolate_pos_embed(
+                pos_embed, c.pretrain_grid, (ph, pw)
+            ).astype(self.dtype)
 
         if c.num_register_tokens:
             reg = self.param(
@@ -254,9 +299,17 @@ class DinoViT(nn.Module):
         ]
         final_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
 
+        rope = None
+        if c.rope:
+            hd = c.dim // c.num_heads
+            rope = (
+                rope_2d_normalized(ph, pw, hd, c.rope_base),
+                1 + c.num_register_tokens,
+            )
+
         saved = {}
         for i in range(c.depth):
-            x = Block(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(x)
+            x = Block(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(x, rope=rope)
             if i in want:
                 use_norm = self.norm_out and i not in self.raw_indices
                 y = final_norm(x) if use_norm else x

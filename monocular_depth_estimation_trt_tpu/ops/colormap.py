@@ -49,3 +49,37 @@ def turbo_colormap(norm01: jax.Array, as_uint8: bool = True) -> jax.Array:
     if as_uint8:
         return (rgb * 255.0).astype(jnp.uint8)
     return rgb
+
+
+@functools.lru_cache(maxsize=1)
+def spectral_lut() -> np.ndarray:
+    """(256, 3) float32 RGB LUT identical to ``plt.get_cmap('Spectral')``
+    (the colormap the DINOv3 depther figures use,
+    reference ``later/DINOv3/infer.py:44``)."""
+    try:
+        from matplotlib import pyplot as plt
+
+        lut = np.asarray(plt.get_cmap("Spectral")(np.arange(256) / 255.0))[:, :3]
+        return lut.astype(np.float32)
+    except Exception:  # ColorBrewer 11-anchor fallback, linearly interpolated
+        anchors = np.array([
+            [158, 1, 66], [213, 62, 79], [244, 109, 67], [253, 174, 97],
+            [254, 224, 139], [255, 255, 191], [230, 245, 152],
+            [171, 221, 164], [102, 194, 165], [50, 136, 189], [94, 79, 162],
+        ], dtype=np.float32) / 255.0
+        x = np.linspace(0.0, 1.0, 256)
+        xp = np.linspace(0.0, 1.0, len(anchors))
+        return np.stack(
+            [np.interp(x, xp, anchors[:, c]) for c in range(3)], axis=-1
+        ).astype(np.float32)
+
+
+def spectral_colormap(norm01: jax.Array, as_uint8: bool = True) -> jax.Array:
+    """Map (..., H, W) values in [0, 1] to Spectral RGB (uint8-quantized
+    indices, same protocol as :func:`turbo_colormap`)."""
+    lut = jnp.asarray(spectral_lut())
+    idx = jnp.clip(norm01 * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    rgb = lut[idx.astype(jnp.int32)]
+    if as_uint8:
+        return (rgb * 255.0).astype(jnp.uint8)
+    return rgb

@@ -83,7 +83,14 @@ class DepthPipeline:
                     norm = inverse_depth_normalize(out["depth"])
                 else:
                     norm = normalize_depth_for_viz(out["depth"])
-                out["viz"] = turbo_colormap(norm)
+                if self.viz == "spectral":  # DINOv3 figures
+                    from monocular_depth_estimation_trt_tpu.ops.colormap import (
+                        spectral_colormap,
+                    )
+
+                    out["viz"] = spectral_colormap(norm)
+                else:
+                    out["viz"] = turbo_colormap(norm)
             return out
 
         example = jax.ShapeDtypeStruct((in_hw[0], in_hw[1], 3), jnp.uint8)

@@ -835,6 +835,53 @@ def litevggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=True, checkpoint=checkpoint)
 
 
+@register("dinov3", fidelity="converter-verified")
+def dinov3(encoder: str = "vitl16", input_size: int = 1024,
+           precision: str = "bf16", attn_impl: str = "auto",
+           params: Any = None, checkpoint: Optional[str] = None,
+           **kw) -> DepthPipeline:
+    """DINOv3 depther (reference ``later/DINOv3/infer.py:25-45``): RoPE-only
+    patch-16 backbone + DPT head at 1024^2, antialiased resize + ImageNet
+    normalize preprocessing, Spectral-colormap figures."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.dinov3 import DINOv3Depther
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_dinov3
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model="dinov3", encoder=encoder, input_hw=(input_size, input_size),
+        precision=precision,
+    )
+    model = DINOv3Depther(
+        encoder=encoder, dtype=compute_dtype(precision), attn_impl=attn_impl
+    )
+
+    def forward(p, img_u8, out_hw):
+        # torchvision Resize(antialias=True) + ImageNet normalize
+        # (later/DINOv3/infer.py:16-24), fused on device
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="linear", antialias=True)
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+        depth = model.apply({"params": p}, x)
+        return {"depth": upsample_depth(depth, out_hw, clamp=None)[0]}
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_dinov3, encoder=encoder),
+        )
+    return DepthPipeline(spec, forward, params, viz="spectral")
+
+
 @register("prior_depth_anything", fidelity="converter-verified")
 def prior_depth_anything(encoder: str = "vits", input_size: int = 518,
                          precision: str = "bf16", attn_impl: str = "auto",

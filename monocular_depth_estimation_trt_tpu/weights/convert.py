@@ -66,7 +66,8 @@ def convert_dinovit(sd: Mapping, prefix: str = "pretrained", depth: int = 12) ->
     ``DinoViT`` params."""
     p: Dict[str, Any] = {}
     p["cls_token"] = _t(sd[_join(prefix, "cls_token")])
-    p["pos_embed"] = _t(sd[_join(prefix, "pos_embed")])
+    if _join(prefix, "pos_embed") in sd:  # absent in RoPE-only (DINOv3) nets
+        p["pos_embed"] = _t(sd[_join(prefix, "pos_embed")])
     if _join(prefix, "register_tokens") in sd:
         p["register_tokens"] = _t(sd[_join(prefix, "register_tokens")])
     p["patch_embed"] = conv2d(sd, _join(prefix, "patch_embed.proj"))
@@ -302,6 +303,20 @@ def convert_flashdepth(state_dict: Mapping, encoder: str = "vits",
     return {
         "pretrained": convert_dinovit(sd, "pretrained", depth),
         "depth_head": head,
+    }
+
+
+def convert_dinov3(state_dict: Mapping, encoder: str = "vitl16") -> Dict:
+    """DINOv3 depther checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_dinov3.py::TorchDINOv3Depther``) -> Flax params for
+    :class:`models.dinov3.DINOv3Depther`. The encoder converts through
+    :func:`convert_dinovit` (RoPE adds no parameters; pos_embed is absent)."""
+    from monocular_depth_estimation_trt_tpu.models.dinov3 import DINOV3_CONFIGS
+
+    depth = DINOV3_CONFIGS[encoder].depth
+    return {
+        "backbone": convert_dinovit(state_dict, "backbone", depth),
+        "head": convert_dpt_head(state_dict, "head"),
     }
 
 

@@ -23,7 +23,7 @@ class TorchAttention(nn.Module):
         self.qkv = nn.Linear(dim, dim * 3, bias=True)
         self.proj = nn.Linear(dim, dim, bias=True)
 
-    def forward(self, x):
+    def forward(self, x, rope=None):
         B, N, C = x.shape
         qkv = (
             self.qkv(x)
@@ -31,6 +31,17 @@ class TorchAttention(nn.Module):
             .permute(2, 0, 3, 1, 4)
         )
         q, k, v = qkv[0], qkv[1], qkv[2]
+        if rope is not None:
+            (cos, sin), prefix = rope
+
+            def rot(t):
+                p = t[:, :, prefix:]
+                p1, p2 = p[..., 0::2], p[..., 1::2]
+                r = torch.stack([p1 * cos - p2 * sin, p1 * sin + p2 * cos],
+                                dim=-1).reshape(p.shape)
+                return torch.cat([t[:, :, :prefix], r], dim=2)
+
+            q, k = rot(q), rot(k)
         attn = (q @ k.transpose(-2, -1)) * self.scale
         attn = attn.softmax(dim=-1)
         x = (attn @ v).transpose(1, 2).reshape(B, N, C)
@@ -82,8 +93,8 @@ class TorchBlock(nn.Module):
             self.mlp = TorchMlp(dim, int(dim * mlp_ratio))
         self.ls2 = TorchLayerScale(dim)
 
-    def forward(self, x):
-        x = x + self.ls1(self.attn(self.norm1(x)))
+    def forward(self, x, rope=None):
+        x = x + self.ls1(self.attn(self.norm1(x), rope=rope))
         x = x + self.ls2(self.mlp(self.norm2(x)))
         return x
 
