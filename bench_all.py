@@ -36,6 +36,7 @@ SUITE = [
     ("flashdepth", {"encoder": "vits"}, (518, 518), None),
     ("prior_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("dinov3", {"encoder": "vits16"}, (1024, 1024), None),
+    ("geocalib", {}, (322, 322), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),

@@ -55,12 +55,33 @@ def cmd_run(args) -> int:
     pipe = build_pipeline(args.model, **kw)
 
     out = pipe(img, viz=True)
-    depth = out["depth"]
-    log(f"max : {depth.max():0.5f} , min : {depth.min():0.5f}")
 
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.image))[0]
     name = pipe.spec.artifact_name()
+
+    if "depth" not in out:
+        # calibration-style pipelines (GeoCalib): scalar estimates + fields
+        # (reference later/GeoCalib/infer.py:35-39 print format)
+        deg = 180.0 / np.pi
+        if "roll" in out:
+            log(f"Roll:  {float(out['roll']) * deg:.1f}° "
+                f"(± {float(out.get('roll_uncertainty', 0)) * deg:.1f})°")
+            log(f"Pitch: {float(out['pitch']) * deg:.1f}° "
+                f"(± {float(out.get('pitch_uncertainty', 0)) * deg:.1f})°")
+            log(f"vFoV:  {float(out['vfov']) * deg:.1f}° "
+                f"(± {float(out.get('vfov_uncertainty', 0)) * deg:.1f})°")
+            log(f"Focal: {float(out['focal']):.1f} px "
+                f"(± {float(out.get('focal_uncertainty', 0)):.1f} px)")
+        npz = os.path.join(args.out, f"{stem}_{name}.npz")
+        np.savez_compressed(npz, **{k: np.asarray(v) for k, v in out.items()})
+        log(f"wrote {npz}")
+        if args.benchmark:
+            pipe.benchmark((img.shape[0], img.shape[1])).print()
+        return 0
+
+    depth = out["depth"]
+    log(f"max : {depth.max():0.5f} , min : {depth.min():0.5f}")
     jpg = os.path.join(args.out, f"{stem}_{name}.jpg")
     if "viz" in out:
         cv2.imwrite(jpg, cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR))

@@ -882,6 +882,68 @@ def dinov3(encoder: str = "vitl16", input_size: int = 1024,
     return DepthPipeline(spec, forward, params, viz="spectral")
 
 
+@register("geocalib", fidelity="converter-verified")
+def geocalib(encoder: str = "vits", input_size: int = 322,
+             precision: str = "bf16", attn_impl: str = "auto",
+             params: Any = None, checkpoint: Optional[str] = None,
+             iters: int = 10, **kw) -> DepthPipeline:
+    """GeoCalib single-image calibration (reference ``later/GeoCalib/``):
+    perspective fields + confidences -> Gauss-Newton camera fit, reporting
+    roll/pitch/vfov/hfov/focal with uncertainties (``infer.py:30-39``).
+    Angles are radians; focal is in pixels of the ORIGINAL image height."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.geocalib import (
+        GeoCalib,
+        fit_camera,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_geocalib
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model="geocalib", encoder=encoder, input_hw=(input_size, input_size),
+        precision=precision,
+    )
+    model = GeoCalib(
+        encoder=encoder, dtype=compute_dtype(precision), attn_impl=attn_impl
+    )
+
+    def forward(p, img_u8, out_hw):
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="linear")
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+        fields = model.apply({"params": p}, x)
+        est = fit_camera(
+            fields["up_field"][0], fields["latitude_field"][0],
+            fields["up_confidence"][0], fields["latitude_confidence"][0],
+            spec.input_hw, iters=iters,
+        )
+        # angles/FoV transfer from the square network view; express the focal
+        # in original-image pixels via the vertical FoV
+        est["focal"] = out_hw[0] / (2.0 * jnp.tan(est["vfov"] / 2.0))
+        est["focal_uncertainty"] = (
+            est["focal_uncertainty"] * out_hw[0] / input_size
+        )
+        est["hfov"] = 2.0 * jnp.arctan(
+            out_hw[1] / (2.0 * est["focal"])
+        )
+        return {**est, **{k: v[0] for k, v in fields.items()}}
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_geocalib, encoder=encoder),
+        )
+    return DepthPipeline(spec, forward, params, viz="none")
+
+
 @register("prior_depth_anything", fidelity="converter-verified")
 def prior_depth_anything(encoder: str = "vits", input_size: int = 518,
                          precision: str = "bf16", attn_impl: str = "auto",

@@ -320,6 +320,22 @@ def convert_dinov3(state_dict: Mapping, encoder: str = "vitl16") -> Dict:
     }
 
 
+def convert_geocalib(state_dict: Mapping, encoder: str = "vits",
+                     depth: Optional[int] = None) -> Dict:
+    """GeoCalib checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_geocalib.py::TorchGeoCalib``) -> Flax params for
+    :class:`models.geocalib.GeoCalib` (the Gauss-Newton camera solver is
+    parameter-free)."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    return {
+        "backbone": convert_dinovit(state_dict, "backbone", depth),
+        "head": convert_dpt_head(state_dict, "head"),
+    }
+
+
 def convert_prior_depth(state_dict: Mapping, encoder: str = "vits",
                         depth: Optional[int] = None) -> Dict:
     """Prior Depth Anything checkpoint (torch-mirror layout,

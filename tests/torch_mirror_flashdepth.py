@@ -68,9 +68,10 @@ class TorchMambaBlock(nn.Module):
 
 class _Scratch(nn.Module):
     """DA-V2 scratch naming, final head WITHOUT a terminal activation
-    (the wrapper clips at 0 outside, wrapper.py:23)."""
+    (the wrapper clips at 0 outside, wrapper.py:23). ``n_out`` widens the
+    final 1x1 conv (multi-channel heads, e.g. GeoCalib's 5 fields)."""
 
-    def __init__(self, out_channels, features):
+    def __init__(self, out_channels, features, n_out=1):
         super().__init__()
         self.layer1_rn = nn.Conv2d(out_channels[0], features, 3, 1, 1, bias=False)
         self.layer2_rn = nn.Conv2d(out_channels[1], features, 3, 1, 1, bias=False)
@@ -84,7 +85,7 @@ class _Scratch(nn.Module):
         self.output_conv2 = nn.Sequential(
             nn.Conv2d(features // 2, 32, 3, 1, 1),
             nn.ReLU(True),
-            nn.Conv2d(32, 1, 1),
+            nn.Conv2d(32, n_out, 1),
         )
 
 

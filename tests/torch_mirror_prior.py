@@ -15,9 +15,10 @@ from torch_mirror_flashdepth import _Scratch
 
 
 class TorchResidualDPTHead(nn.Module):
-    """DA-V2 DPT layout with NO terminal activation (log-residual head)."""
+    """DA-V2 DPT layout with NO terminal activation (log-residual head);
+    ``n_out`` widens the final conv for multi-channel field heads."""
 
-    def __init__(self, in_ch, features, out_channels, patch=14):
+    def __init__(self, in_ch, features, out_channels, patch=14, n_out=1):
         super().__init__()
         self.patch = patch
         self.projects = nn.ModuleList(
@@ -31,7 +32,7 @@ class TorchResidualDPTHead(nn.Module):
                 nn.Conv2d(out_channels[3], out_channels[3], 3, 2, 1),
             ]
         )
-        self.scratch = _Scratch(out_channels, features)
+        self.scratch = _Scratch(out_channels, features, n_out)
 
     def forward(self, out_features, ph, pw):
         outs = []
