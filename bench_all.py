@@ -37,6 +37,8 @@ SUITE = [
     ("prior_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("dinov3", {"encoder": "vits16"}, (1024, 1024), None),
     ("geocalib", {}, (322, 322), None),
+    ("map_anything", {}, (518, 518), None),
+    ("cotracker3", {}, (384, 512), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),

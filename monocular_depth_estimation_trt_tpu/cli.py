@@ -196,6 +196,40 @@ def cmd_video(args) -> int:
     return 0
 
 
+def cmd_track(args) -> int:
+    """Online point tracking over a video -> tracked-points MP4 (reference
+    ``later/CoTracker3/infer.py``)."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu.apps.tracking import visualize_tracks
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    pipe = build_pipeline(args.model, grid_size=args.grid)
+    cap = cv2.VideoCapture(args.video)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"[MDET] cannot open video: {args.video}")
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok or (args.max_frames and len(frames) >= args.max_frames):
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    video = np.stack(frames)
+    tracks, vis = pipe.track_video(video)
+    # tracks are at the model resolution; rescale to the source video
+    ih, iw = pipe.spec.input_hw
+    scale = np.asarray([video.shape[2] / iw, video.shape[1] / ih], np.float32)
+    tracks = tracks * scale
+    os.makedirs(args.out, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.video))[0]
+    out_path = os.path.join(
+        args.out, f"{stem}_{pipe.spec.artifact_name()}.mp4"
+    )
+    visualize_tracks(video, tracks, vis, out_path)
+    return 0
+
+
 def cmd_webcam(args) -> int:
     """Live depth viewer (reference ``Depth_Pro/onnx2trt_webcam.py``; accepts
     an IP-camera URL)."""
@@ -308,6 +342,15 @@ def build_parser() -> argparse.ArgumentParser:
     video.add_argument("--max-frames", type=int, default=0)
     video.set_defaults(fn=cmd_video)
 
+    track = sub.add_parser("track", help="online point tracking over a video")
+    track.add_argument("model", nargs="?", default="cotracker3")
+    track.add_argument("--video", required=True)
+    track.add_argument("--grid", type=int, default=10,
+                       help="grid_size (reference later/CoTracker3/infer.py:23)")
+    track.add_argument("--out", default="results")
+    track.add_argument("--max-frames", type=int, default=0)
+    track.set_defaults(fn=cmd_track)
+
     webcam = sub.add_parser("webcam", help="live depth viewer (webcam or IP cam)")
     webcam.add_argument("model")
     webcam.add_argument("--encoder", default="")
@@ -325,7 +368,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam):
+    for sp in (run, flow, video, webcam, track):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

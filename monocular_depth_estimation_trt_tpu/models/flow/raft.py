@@ -128,6 +128,15 @@ class BasicMotionEncoder(nn.Module):
 
 
 class SepConvGRU(nn.Module):
+    """RAFT's separable-kernel ConvGRU.
+
+    TPU layout note: the z and r gates read the SAME input, so they run as
+    ONE conv with ``2*hidden`` output channels and a split — identical math
+    to upstream's two convs (the converter concatenates the torch ``convz*``
+    / ``convr*`` kernels along the output axis), but a single wider MXU
+    matmul per direction instead of two half-width ones, and 2 fewer ops in
+    the 20x-iterated scan body."""
+
     hidden: int = 128
     dtype: Any = jnp.float32
 
@@ -136,14 +145,10 @@ class SepConvGRU(nn.Module):
         for tag, ks, pad in [("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))]:
             hx = jnp.concatenate([h, x], axis=-1)
             pad2 = ((pad[0], pad[0]), (pad[1], pad[1]))
-            z = nn.sigmoid(
-                nn.Conv(self.hidden, ks, padding=pad2, dtype=self.dtype,
-                        name=f"convz{tag}")(hx)
-            )
-            r = nn.sigmoid(
-                nn.Conv(self.hidden, ks, padding=pad2, dtype=self.dtype,
-                        name=f"convr{tag}")(hx)
-            )
+            zr = nn.Conv(2 * self.hidden, ks, padding=pad2, dtype=self.dtype,
+                         name=f"convzr{tag}")(hx)
+            z = nn.sigmoid(zr[..., : self.hidden])
+            r = nn.sigmoid(zr[..., self.hidden :])
             q = nn.tanh(
                 nn.Conv(self.hidden, ks, padding=pad2, dtype=self.dtype,
                         name=f"convq{tag}")(jnp.concatenate([r * h, x], axis=-1))

@@ -1051,6 +1051,321 @@ def prior_depth_anything(encoder: str = "vits", input_size: int = 518,
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
+@register("map_anything", fidelity="converter-verified")
+def map_anything(input_size: int = 518, precision: str = "bf16",
+                 attn_impl: str = "auto", params: Any = None,
+                 checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+    """MapAnything metric 3D mapping (reference ``later/Map_Anything/
+    infer.py:30-68``): per view — pts3d (world) / pts3d_cam / depth_z /
+    depth_along_ray / ray_directions / intrinsics / cam2world poses (quat +
+    trans) / conf / masks / metric_scaling_factor / img_no_norm, all composed
+    on device. Single images serve through the standard pipeline;
+    ``pipe.reconstruct(frames)`` runs a joint multi-view pass."""
+    import jax
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.map_anything import MapAnything
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGTConfig
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+    from monocular_depth_estimation_trt_tpu.ops.camera import (
+        extrinsics_from_quat_trans,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        preprocess_pad_square,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_map_anything,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    cfg = VGGTConfig()
+    spec = ModelSpec(
+        model="map_anything", input_hw=(input_size, input_size),
+        precision=precision, metric=True,
+    )
+    model = MapAnything(cfg=cfg, dtype=compute_dtype(precision),
+                        attn_impl=attn_impl)
+
+    def compose(out, rgb01):
+        """Raw head outputs -> the reference's per-view output set
+        (later/Map_Anything/infer.py:43-68), S folded into the batch."""
+        b, s, H, W, _ = rgb01.shape
+        msf = out["metric_scaling_factor"][:, None]  # (B, 1)
+        ray = out["ray_directions"]
+        dar = out["depth_along_ray"] * msf[..., None, None]
+        pts_cam = ray * dar[..., None]
+        depth_z = pts_cam[..., 2]
+        pose = out["pose_enc"]  # (B, S, 9) cam2world
+        Rt = extrinsics_from_quat_trans(pose[..., 3:7], pose[..., :3])
+        R, t = Rt[..., :3], Rt[..., 3] * msf[..., None]
+        pts_world = jnp.einsum("bsij,bshwj->bshwi", R, pts_cam) + t[:, :, None, None]
+        fov_h, fov_w = pose[..., 7], pose[..., 8]
+        fy = H / (2.0 * jnp.tan(jnp.maximum(fov_h, 1e-3) / 2.0))
+        fx = W / (2.0 * jnp.tan(jnp.maximum(fov_w, 1e-3) / 2.0))
+        zeros = jnp.zeros_like(fx)
+        ones = jnp.ones_like(fx)
+        K = jnp.stack([
+            jnp.stack([fx, zeros, jnp.full_like(fx, W / 2.0)], -1),
+            jnp.stack([zeros, fy, jnp.full_like(fy, H / 2.0)], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ], axis=-2)  # (B, S, 3, 3)
+        logits = out["mask_logits"]
+        nam = logits > 0.0
+        mask = (nam & (dar > 1e-6))[..., None]
+        return {
+            "pts3d": pts_world,
+            "pts3d_cam": pts_cam,
+            "depth_z": depth_z[..., None],
+            "depth_along_ray": dar[..., None],
+            "ray_directions": ray,
+            "intrinsics": K,
+            "camera_poses": jnp.concatenate(
+                [jnp.concatenate([R, t[..., None]], axis=-1),
+                 jnp.broadcast_to(jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+                                  (b, s, 1, 4))], axis=-2,
+            ),
+            "cam_trans": t,
+            "cam_quats": pose[..., 3:7],
+            "conf": out["conf"],
+            "mask": mask,
+            "non_ambiguous_mask": nam,
+            "non_ambiguous_mask_logits": logits,
+            "metric_scaling_factor": out["metric_scaling_factor"],
+            "img_no_norm": rgb01,
+        }
+
+    def forward(p, img_u8, out_hw):
+        x = preprocess_pad_square(img_u8, input_size)  # [0,1] square
+        out = model.apply({"params": p}, x[:, None])
+        full = compose(out, x[:, None])
+        # standard pipeline contract on top (depth at original resolution)
+        depth = upsample_depth(full["depth_z"][0, :, :, :, 0], out_hw,
+                               clamp=(1e-3, 1e3))[0]
+        return {"depth": depth,
+                **{k: v[0] for k, v in full.items()
+                   if k != "metric_scaling_factor"},
+                "metric_scaling_factor": full["metric_scaling_factor"]}
+
+    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(
+                convert_map_anything, vit_depth=vit_cfg.depth, depth=cfg.depth,
+            ),
+        )
+
+    class MapAnythingPipeline(DepthPipeline):
+        def reconstruct(self, frames_u8):
+            """Joint multi-view pass: frames (S, H, W, 3) uint8 -> the full
+            output set with cross-view attention (the reference's
+            ``model.infer(views)``)."""
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+                tree_get_chunked,
+            )
+
+            frames = np.asarray(frames_u8)
+            s = frames.shape[0]
+            key = ("views", s, frames.shape[1:3])
+            if key not in self._engines:
+                def run(p, fr):
+                    views = jax.vmap(
+                        lambda f: preprocess_pad_square(f, input_size)[0]
+                    )(fr)[None]
+                    out = model.apply({"params": p}, views)
+                    return compose(out, views)
+
+                ex = jax.ShapeDtypeStruct(frames.shape, jnp.uint8)
+                self._engines[key] = Engine(
+                    run, (self.params, ex),
+                    name=f"{spec.artifact_name()}_s{s}",
+                )
+            out = self._engines[key](self.params, device_put_chunked(frames))
+            return tree_get_chunked(out)
+
+    return MapAnythingPipeline(spec, forward, params, viz="metric")
+
+
+@register("cotracker3", fidelity="converter-verified")
+def cotracker3(window: int = 16, grid_size: int = 10,
+               input_hw: tuple = (384, 512), precision: str = "bf16",
+               params: Any = None, checkpoint: Optional[str] = None,
+               model_kw: Optional[dict] = None, **kw):
+    """CoTracker3 online point tracking (reference ``later/CoTracker3/
+    infer.py:19-28``): grid queries, sliding windows of ``2 * step`` frames
+    (``step = window // 2``), returns (tracks (B,T,N,2), visibility
+    (B,T,N,1)). The pipeline object IS the online model: call it with
+    ``(video_chunk, is_first_step=True, grid_size=...)`` to start, then with
+    successive chunks — exactly the upstream hub API."""
+    import jax
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.cotracker3 import CoTracker3
+    from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_cotracker3,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    in_hw = tuple(input_hw)
+    spec = ModelSpec(
+        model="cotracker3", input_hw=in_hw, precision=precision,
+        extra=(("win", window), ("grid", grid_size)),
+    )
+    model = CoTracker3(dtype=compute_dtype(precision), **(model_kw or {}))
+    n = grid_size * grid_size
+    step = window // 2
+
+    def _grid_queries(h, w):
+        # interior grid like upstream get_points_on_a_grid: margins of one
+        # cell on each side
+        ys = np.linspace(h / (grid_size + 1), h * grid_size / (grid_size + 1),
+                         grid_size, dtype=np.float32)
+        xs = np.linspace(w / (grid_size + 1), w * grid_size / (grid_size + 1),
+                         grid_size, dtype=np.float32)
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)[None]
+
+    example_frames = jnp.zeros((1, window, *in_hw, 3), jnp.float32)
+    example_q = jnp.zeros((1, n, 2), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, (example_frames, example_q),
+            torch_ckpt=checkpoint, converter=convert_cotracker3,
+        )
+
+    class CoTrackerPipeline:
+        step = window // 2
+
+        def __init__(self):
+            self.spec = spec
+            self.params = params
+            self._engines = {}
+            self._queries = None
+            self._state = None  # (coords (1,W,N,2), vis (1,W,N), feat)
+
+        def _prep(self, chunk):
+            import cv2
+
+            frames = np.asarray(chunk, dtype=np.float32)
+            if frames.max() > 1.5:
+                frames = frames / 255.0
+            if frames.shape[1:3] != in_hw:
+                frames = np.stack(
+                    [cv2.resize(f, (in_hw[1], in_hw[0])) for f in frames]
+                )
+            return frames
+
+        def _engine(self, first: bool):
+            key = ("first" if first else "cont",)
+            if key in self._engines:
+                return self._engines[key]
+            fr = jax.ShapeDtypeStruct((1, window, *in_hw, 3), jnp.float32)
+            q = jax.ShapeDtypeStruct((1, n, 2), jnp.float32)
+            if first:
+                def run(p, frames, queries):
+                    return model.apply({"params": p}, frames, queries)
+                eng = Engine(run, (self.params, fr, q),
+                             name=spec.artifact_name() + "_first")
+            else:
+                co = jax.ShapeDtypeStruct((1, window, n, 2), jnp.float32)
+                vi = jax.ShapeDtypeStruct((1, window, n), jnp.float32)
+                ft = jax.ShapeDtypeStruct((1, n, model.dim), jnp.float32)
+
+                def run(p, frames, queries, coords, vis, feat):
+                    return model.apply(
+                        {"params": p}, frames, queries,
+                        init_coords=coords, init_vis=vis, track_feat=feat,
+                    )
+                eng = Engine(run, (self.params, fr, q, co, vi, ft),
+                             name=spec.artifact_name() + "_cont")
+            self._engines[key] = eng
+            return eng
+
+        def __call__(self, video_chunk=None, is_first_step: bool = False,
+                     grid_size: int = 0):
+            """The upstream online API (later/CoTracker3/infer.py:24-28)."""
+            if is_first_step:
+                self._queries = jnp.asarray(_grid_queries(*in_hw))
+                self._state = None
+                return None
+            frames = self._prep(video_chunk[0] if video_chunk.ndim == 5
+                                else video_chunk)
+            t = frames.shape[0]
+            if t < window:  # pad by repeating the last frame (static shapes)
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], window - t, axis=0)]
+                )
+            fr = jnp.asarray(frames[None])
+            if self._state is None:
+                out = self._engine(True)(self.params, fr, self._queries)
+            else:
+                coords, vis, feat = self._state
+                # seed: overlap frames reuse the previous window's estimates;
+                # new frames start from the last known position
+                init_c = jnp.concatenate(
+                    [coords[:, step:],
+                     jnp.repeat(coords[:, -1:], window - step, axis=1)], axis=1
+                )
+                init_v = jnp.concatenate(
+                    [vis[:, step:],
+                     jnp.repeat(vis[:, -1:], window - step, axis=1)], axis=1
+                )
+                out = self._engine(False)(
+                    self.params, fr, self._queries, init_c, init_v, feat
+                )
+            vis_logit = jnp.log(
+                jnp.clip(out["visibility"][..., 0], 1e-6, 1 - 1e-6)
+            ) - jnp.log(
+                jnp.clip(1 - out["visibility"][..., 0], 1e-6, 1 - 1e-6)
+            )
+            self._state = (out["tracks"] / 1.0, vis_logit, out["track_feat"])
+            tracks = np.asarray(out["tracks"])[:, :t]
+            vis = np.asarray(out["visibility"])[:, :t]
+            return tracks, vis
+
+        def track_video(self, video):
+            """Full-video convenience: video (T, H, W, 3) -> (tracks, vis)
+            over all frames (the reference's loop, infer.py:27-28)."""
+            video = self._prep(video)
+            self(None, is_first_step=True)
+            t_total = video.shape[0]
+            all_tracks = np.zeros((1, t_total, n, 2), np.float32)
+            all_vis = np.zeros((1, t_total, n, 1), np.float32)
+            pos = 0
+            while pos < t_total:
+                chunk = video[pos: pos + window]
+                tr, vi = self(chunk)
+                t = chunk.shape[0]
+                all_tracks[:, pos: pos + t] = tr[:, :t]
+                all_vis[:, pos: pos + t] = vi[:, :t]
+                pos += step if pos + window < t_total else t
+            return all_tracks, all_vis
+
+        def benchmark(self, _in_hw=None, config=None):
+            from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+                benchmark as _bench,
+            )
+
+            eng = self._engine(True)
+            eng.compile()
+            rng = np.random.default_rng(0)
+            fr = jax.device_put(
+                rng.uniform(0, 1, (1, window, *in_hw, 3)).astype(np.float32)
+            )
+            q = jax.device_put(_grid_queries(*in_hw).astype(np.float32))
+            return _bench(lambda f: eng(self.params, f, q), (fr,),
+                          config=config, name=spec.artifact_name())
+
+    return CoTrackerPipeline()
+
+
 # ---------------------------------------------------------------------------
 # Optical flow family (reference RAFT/, NeuFlow/, MeFlow/, MEMFOF/)
 # ---------------------------------------------------------------------------

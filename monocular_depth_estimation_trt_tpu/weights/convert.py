@@ -472,59 +472,119 @@ def _aa_block(sd: Mapping, prefix: str) -> Dict:
     }
 
 
+def _convert_aggregator(sd: Mapping, prefix: str, vit_depth: int,
+                        depth: int) -> Dict:
+    agg: Dict[str, Any] = {
+        "patch_embed": convert_dinovit(sd, f"{prefix}.patch_embed", vit_depth),
+        "camera_token": _t(sd[f"{prefix}.camera_token"]),
+        "register_tokens": _t(sd[f"{prefix}.register_tokens"]),
+    }
+    if f"{prefix}.input_proj.weight" in sd:
+        agg["input_proj"] = linear(sd, f"{prefix}.input_proj")
+    for i in range(depth):
+        agg[f"frame_{i}"] = _aa_block(sd, f"{prefix}.frame_blocks.{i}")
+        agg[f"global_{i}"] = _aa_block(sd, f"{prefix}.global_blocks.{i}")
+    return agg
+
+
+def _convert_vggt_dpt(sd: Mapping, prefix: str) -> Dict:
+    dpt: Dict[str, Any] = {}
+    for i in range(4):
+        dpt[f"project_{i}"] = conv2d(sd, f"{prefix}.projects.{i}")
+    dpt["resize_0"] = conv_transpose_shuffle(sd, f"{prefix}.resize_layers.0")
+    dpt["resize_1"] = conv_transpose_shuffle(sd, f"{prefix}.resize_layers.1")
+    dpt["resize_3"] = conv2d(sd, f"{prefix}.resize_layers.3")
+    for i in range(1, 5):
+        dpt[f"layer{i}_rn"] = conv2d(sd, f"{prefix}.layer{i}_rn")
+        dpt[f"refinenet{i}"] = _fusion_block(sd, f"{prefix}.refinenet{i}")
+    dpt["output_conv1"] = conv2d(sd, f"{prefix}.output_conv1")
+    dpt["output_conv2_0"] = conv2d(sd, f"{prefix}.output_conv2.0")
+    dpt["output_conv2_2"] = conv2d(sd, f"{prefix}.output_conv2.2")
+    return dpt
+
+
+def _convert_camera_head(sd: Mapping, prefix: str, trunk_depth: int) -> Dict:
+    cam: Dict[str, Any] = {
+        "token_norm": layernorm(sd, f"{prefix}.token_norm"),
+        "embed_pose": linear(sd, f"{prefix}.embed_pose"),
+        "poseLN_modulation": linear(sd, f"{prefix}.poseLN_modulation"),
+        "pose_branch_fc1": linear(sd, f"{prefix}.pose_branch.fc1"),
+        "pose_branch_fc2": linear(sd, f"{prefix}.pose_branch.fc2"),
+    }
+    for i in range(trunk_depth):
+        b = f"{prefix}.trunk.{i}"
+        cam[f"trunk_{i}_norm1"] = layernorm(sd, f"{b}.norm1")
+        cam[f"trunk_{i}_qkv"] = linear(sd, f"{b}.qkv")
+        cam[f"trunk_{i}_proj"] = linear(sd, f"{b}.proj")
+        cam[f"trunk_{i}_ls1"] = {"gamma": _t(sd[f"{b}.ls1.gamma"])}
+        cam[f"trunk_{i}_norm2"] = layernorm(sd, f"{b}.norm2")
+        cam[f"trunk_{i}_mlp"] = {
+            "fc1": linear(sd, f"{b}.mlp.fc1"),
+            "fc2": linear(sd, f"{b}.mlp.fc2"),
+        }
+        cam[f"trunk_{i}_ls2"] = {"gamma": _t(sd[f"{b}.ls2.gamma"])}
+    return cam
+
+
 def convert_vggt(state_dict: Mapping, vit_depth: int = 24, depth: int = 24,
                  trunk_depth: int = 4, with_camera: bool = True) -> Dict:
     """VGGT checkpoint (torch-mirror layout,
     ``tests/torch_mirror_vggt.py::TorchVGGT``) -> Flax params for
     :class:`models.vggt.VGGT` (aggregator / depth_head / camera_head)."""
     sd = state_dict
-    agg: Dict[str, Any] = {
-        "patch_embed": convert_dinovit(sd, "aggregator.patch_embed", vit_depth),
-        "camera_token": _t(sd["aggregator.camera_token"]),
-        "register_tokens": _t(sd["aggregator.register_tokens"]),
+    out = {
+        "aggregator": _convert_aggregator(sd, "aggregator", vit_depth, depth),
+        "depth_head": {"dpt": _convert_vggt_dpt(sd, "depth_head.dpt")},
     }
-    if "aggregator.input_proj.weight" in sd:
-        agg["input_proj"] = linear(sd, "aggregator.input_proj")
-    for i in range(depth):
-        agg[f"frame_{i}"] = _aa_block(sd, f"aggregator.frame_blocks.{i}")
-        agg[f"global_{i}"] = _aa_block(sd, f"aggregator.global_blocks.{i}")
-
-    dpt: Dict[str, Any] = {}
-    for i in range(4):
-        dpt[f"project_{i}"] = conv2d(sd, f"depth_head.dpt.projects.{i}")
-    dpt["resize_0"] = conv_transpose_shuffle(sd, "depth_head.dpt.resize_layers.0")
-    dpt["resize_1"] = conv_transpose_shuffle(sd, "depth_head.dpt.resize_layers.1")
-    dpt["resize_3"] = conv2d(sd, "depth_head.dpt.resize_layers.3")
-    for i in range(1, 5):
-        dpt[f"layer{i}_rn"] = conv2d(sd, f"depth_head.dpt.layer{i}_rn")
-        dpt[f"refinenet{i}"] = _fusion_block(sd, f"depth_head.dpt.refinenet{i}")
-    dpt["output_conv1"] = conv2d(sd, "depth_head.dpt.output_conv1")
-    dpt["output_conv2_0"] = conv2d(sd, "depth_head.dpt.output_conv2.0")
-    dpt["output_conv2_2"] = conv2d(sd, "depth_head.dpt.output_conv2.2")
-
-    out = {"aggregator": agg, "depth_head": {"dpt": dpt}}
     if with_camera:
-        cam: Dict[str, Any] = {
-            "token_norm": layernorm(sd, "camera_head.token_norm"),
-            "embed_pose": linear(sd, "camera_head.embed_pose"),
-            "poseLN_modulation": linear(sd, "camera_head.poseLN_modulation"),
-            "pose_branch_fc1": linear(sd, "camera_head.pose_branch.fc1"),
-            "pose_branch_fc2": linear(sd, "camera_head.pose_branch.fc2"),
-        }
-        for i in range(trunk_depth):
-            b = f"camera_head.trunk.{i}"
-            cam[f"trunk_{i}_norm1"] = layernorm(sd, f"{b}.norm1")
-            cam[f"trunk_{i}_qkv"] = linear(sd, f"{b}.qkv")
-            cam[f"trunk_{i}_proj"] = linear(sd, f"{b}.proj")
-            cam[f"trunk_{i}_ls1"] = {"gamma": _t(sd[f"{b}.ls1.gamma"])}
-            cam[f"trunk_{i}_norm2"] = layernorm(sd, f"{b}.norm2")
-            cam[f"trunk_{i}_mlp"] = {
-                "fc1": linear(sd, f"{b}.mlp.fc1"),
-                "fc2": linear(sd, f"{b}.mlp.fc2"),
-            }
-            cam[f"trunk_{i}_ls2"] = {"gamma": _t(sd[f"{b}.ls2.gamma"])}
-        out["camera_head"] = cam
+        out["camera_head"] = _convert_camera_head(sd, "camera_head", trunk_depth)
     return out
+
+
+def convert_map_anything(state_dict: Mapping, vit_depth: int = 24,
+                         depth: int = 24, trunk_depth: int = 4) -> Dict:
+    """MapAnything checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_map_anything.py::TorchMapAnything``) -> Flax params
+    for :class:`models.map_anything.MapAnything` (aggregator / dense_head /
+    camera_head / metric-scale MLP)."""
+    sd = state_dict
+    return {
+        "aggregator": _convert_aggregator(sd, "aggregator", vit_depth, depth),
+        "dense_head": {"dpt": _convert_vggt_dpt(sd, "dense_head.dpt")},
+        "camera_head": _convert_camera_head(sd, "camera_head", trunk_depth),
+        "scale_fc1": linear(sd, "scale_fc1"),
+        "scale_fc2": linear(sd, "scale_fc2"),
+    }
+
+
+def convert_cotracker3(state_dict: Mapping, blocks: int = 3) -> Dict:
+    """CoTracker3 checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_cotracker.py::TorchCoTracker3``) -> Flax params for
+    :class:`models.cotracker3.CoTracker3`."""
+    sd = state_dict
+    p: Dict[str, Any] = {
+        "encoder": {
+            f"conv{i}": conv2d(sd, f"encoder.conv{i}") for i in range(1, 6)
+        },
+        "in_proj": linear(sd, "in_proj"),
+        "head_coord": linear(sd, "head_coord"),
+        "head_vis": linear(sd, "head_vis"),
+        "head_feat": linear(sd, "head_feat"),
+    }
+    for i in range(blocks):
+        b = f"blocks.{i}"
+        p[f"block_{i}"] = {
+            "norm_time": layernorm(sd, f"{b}.norm_time"),
+            "time_qkv": linear(sd, f"{b}.time_qkv"),
+            "time_proj": linear(sd, f"{b}.time_proj"),
+            "norm_track": layernorm(sd, f"{b}.norm_track"),
+            "track_qkv": linear(sd, f"{b}.track_qkv"),
+            "track_proj": linear(sd, f"{b}.track_proj"),
+            "norm_mlp": layernorm(sd, f"{b}.norm_mlp"),
+            "mlp_fc1": linear(sd, f"{b}.mlp_fc1"),
+            "mlp_fc2": linear(sd, f"{b}.mlp_fc2"),
+        }
+    return p
 
 
 def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, np.ndarray]:
@@ -535,6 +595,22 @@ def folded_batchnorm(sd: Mapping, prefix: str, eps: float = 1e-5) -> Dict[str, n
     var = _t(sd[f"{prefix}.running_var"])
     scale = gamma / np.sqrt(var + eps)
     return {"scale": scale, "bias": beta - mean * scale}
+
+
+def _sep_gru(sd: Mapping, prefix: str) -> Dict:
+    """Upstream SepConvGRU convz*/convr*/convq* -> the fused z|r layout of
+    :class:`models.flow.raft.SepConvGRU` (kernels concatenated along the
+    output-channel axis; identical math)."""
+    out: Dict[str, Any] = {}
+    for i in (1, 2):
+        z = conv2d(sd, f"{prefix}.convz{i}")
+        r = conv2d(sd, f"{prefix}.convr{i}")
+        out[f"convzr{i}"] = {
+            "kernel": np.concatenate([z["kernel"], r["kernel"]], axis=-1),
+            "bias": np.concatenate([z["bias"], r["bias"]]),
+        }
+        out[f"convq{i}"] = conv2d(sd, f"{prefix}.convq{i}")
+    return out
 
 
 def _convert_raft_encoder(sd: Mapping, prefix: str, norm: str) -> Dict:
@@ -578,11 +654,7 @@ def convert_raft(state_dict: Mapping) -> Dict:
                 "convf2": conv2d(sd, f"{ub}.encoder.convf2"),
                 "conv": conv2d(sd, f"{ub}.encoder.conv"),
             },
-            "gru": {
-                f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
-                for g in ("z", "r", "q")
-                for i in (1, 2)
-            },
+            "gru": _sep_gru(sd, f"{ub}.gru"),
             "flow_head_conv1": conv2d(sd, f"{ub}.flow_head.conv1"),
             "flow_head_conv2": conv2d(sd, f"{ub}.flow_head.conv2"),
             "mask_conv0": conv2d(sd, f"{ub}.mask.0"),
@@ -627,11 +699,7 @@ def convert_memfof(state_dict: Mapping) -> Dict:
             },
             "aggregator_to_v": linear(sd, f"{ub}.aggregator_to_v"),
             "aggregator_gamma": _t(sd[f"{ub}.aggregator_gamma"]),
-            "gru": {
-                f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
-                for g in ("z", "r", "q")
-                for i in (1, 2)
-            },
+            "gru": _sep_gru(sd, f"{ub}.gru"),
         },
         "flow_head_conv1": conv2d(sd, "flow_head.0"),
         "flow_head_conv2": conv2d(sd, "flow_head.2"),
@@ -643,11 +711,7 @@ def convert_memfof(state_dict: Mapping) -> Dict:
 def _neuflow_refine(sd: Mapping, prefix: str) -> Dict:
     return {
         "init": conv2d(sd, f"{prefix}.init"),
-        "gru": {
-            f"conv{g}{i}": conv2d(sd, f"{prefix}.gru.conv{g}{i}")
-            for g in ("z", "r", "q")
-            for i in (1, 2)
-        },
+        "gru": _sep_gru(sd, f"{prefix}.gru"),
         "enc": conv2d(sd, f"{prefix}.enc"),
         "head1": conv2d(sd, f"{prefix}.head1"),
         "head2": conv2d(sd, f"{prefix}.head2"),
@@ -715,11 +779,7 @@ def convert_meflow(state_dict: Mapping) -> Dict:
                     "convf2": conv2d(sd, f"{ub}.encoder.convf2"),
                     "conv": conv2d(sd, f"{ub}.encoder.conv"),
                 },
-                "gru": {
-                    f"conv{g}{i}": conv2d(sd, f"{ub}.gru.conv{g}{i}")
-                    for g in ("z", "r", "q")
-                    for i in (1, 2)
-                },
+                "gru": _sep_gru(sd, f"{ub}.gru"),
                 "flow_head_conv1": conv2d(sd, f"{ub}.flow_head.conv1"),
                 "flow_head_conv2": conv2d(sd, f"{ub}.flow_head.conv2"),
                 "mask_conv0": conv2d(sd, f"{ub}.mask.0"),

@@ -140,9 +140,10 @@ class TorchAggregator(nn.Module):
 
 
 class TorchVGGTDPT(nn.Module):
-    """DPT trunk with a 2-channel output (depth + conf), no final act."""
+    """DPT trunk with an ``n_out``-channel output, no final act
+    (VGGT depth+conf = 2; MapAnything dense head = 6)."""
 
-    def __init__(self, in_ch, features, out_channels, patch=14):
+    def __init__(self, in_ch, features, out_channels, patch=14, n_out=2):
         super().__init__()
         self.patch = patch
         self.projects = nn.ModuleList([nn.Conv2d(in_ch, oc, 1) for oc in out_channels])
@@ -166,7 +167,7 @@ class TorchVGGTDPT(nn.Module):
         self.output_conv2 = nn.Sequential(
             nn.Conv2d(features // 2, 32, 3, 1, 1),
             nn.ReLU(True),
-            nn.Conv2d(32, 2, 1),
+            nn.Conv2d(32, n_out, 1),
         )
 
     def forward(self, feats, ph, pw):
