@@ -39,6 +39,7 @@ SUITE = [
     ("geocalib", {}, (322, 322), None),
     ("map_anything", {}, (518, 518), None),
     ("cotracker3", {}, (384, 512), None),
+    ("video_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("raft", {}, (288, 512), 21.96),

@@ -350,3 +350,52 @@ def run_webcam(pipeline, camera: int | str = 0, *, display: bool = True) -> None
         cap.release()
         if display:
             cv2.destroyAllWindows()
+
+
+def write_depth_video(
+    pipeline,
+    video_path: str,
+    out_path: str,
+    *,
+    max_frames: Optional[int] = None,
+) -> str:
+    """Whole-video depth for windowed batch models (Video Depth Anything's
+    ``run.py`` protocol): read all frames, run ``pipeline.video_depth`` (one
+    jitted program per overlapping window, stitched on host), colorize with
+    ONE global normalization over the full video — the temporally consistent
+    visualization the per-frame path cannot produce — and write the MP4."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"[MDET] cannot open video: {video_path}")
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok or (max_frames and len(frames) >= max_frames):
+            break
+        frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"[MDET] no frames decoded from {video_path}")
+    video = np.stack(frames)
+    h, w = video.shape[1:3]
+
+    t0 = time.perf_counter()
+    depth = pipeline.video_depth(video)  # (T, ih, iw)
+    dt = time.perf_counter() - t0
+    log(f"video depth: {len(frames)} frames in {dt:.2f}s "
+        f"({len(frames) / max(dt, 1e-9):.1f} FPS)")
+
+    lo, hi = float(depth.min()), float(depth.max())
+    norm = ((depth - lo) / max(hi - lo, 1e-6) * 255.0).astype(np.uint8)
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for d in norm:
+        viz = cv2.applyColorMap(d, cv2.COLORMAP_INFERNO)
+        writer.write(cv2.resize(viz, (w, h)))
+    writer.release()
+    log(f"wrote {out_path}")
+    return out_path

@@ -192,7 +192,17 @@ def cmd_video(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.video))[0]
     out_path = os.path.join(args.out, f"{stem}_{pipe.spec.artifact_name()}.mp4")
-    run_video(pipe, args.video, out_path, max_frames=args.max_frames or None)
+    if hasattr(pipe, "video_depth"):
+        # windowed batch models (Video Depth Anything): whole-video protocol
+        # with globally consistent normalization (upstream run.py)
+        from monocular_depth_estimation_trt_tpu.apps.streaming import (
+            write_depth_video,
+        )
+
+        write_depth_video(pipe, args.video, out_path,
+                          max_frames=args.max_frames or None)
+    else:
+        run_video(pipe, args.video, out_path, max_frames=args.max_frames or None)
     return 0
 
 

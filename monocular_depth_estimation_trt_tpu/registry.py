@@ -822,6 +822,162 @@ def flashdepth(encoder: str = "vits", input_size: int = 518,
     return FlashDepthPipeline(spec, forward, params, viz="relative")
 
 
+@register("video_depth_anything", fidelity="converter-verified")
+def video_depth_anything(encoder: str = "vits", input_size: int = 518,
+                         metric: bool = False, window: int = 0,
+                         overlap: int = 0, precision: str = "bf16",
+                         attn_impl: str = "auto", params: Any = None,
+                         checkpoint: Optional[str] = None,
+                         model_kw: Optional[Dict] = None,
+                         **kw) -> DepthPipeline:
+    """Video Depth Anything (reference ``later/Video_Depth_Anything/``):
+    temporally consistent video depth — a DA-V2 encoder + a DPT head with
+    temporal attention, run on 32-frame windows; long videos stitch
+    overlapping windows with scale/shift alignment (upstream ``run.py``).
+    Single images serve through the standard pipeline as a 1-frame window;
+    ``pipe.video_depth(frames_u8)`` runs the windowed protocol. ``metric``
+    selects the Metric-VDA checkpoints (same graph, depth in meters)."""
+    import jax
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.video_depth_anything import (
+        OVERLAP,
+        WINDOW,
+        VideoDepthAnything,
+        stitch_window,
+        window_starts,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_vda
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    window = window or WINDOW
+    overlap = overlap or OVERLAP
+    spec = ModelSpec(
+        model="video_depth_anything", encoder=encoder,
+        input_hw=(input_size, input_size), precision=precision, metric=metric,
+        dataset="metric" if metric else "",
+    )
+    model = VideoDepthAnything(
+        encoder=encoder, dtype=compute_dtype(precision), attn_impl=attn_impl,
+        **(model_kw or {}),
+    )
+
+    def prep_frames(frames_u8):
+        # upstream run.py: DA transform per frame (resize + ImageNet
+        # normalize); fused on device over the whole window
+        x = to_float_rgb(frames_u8)
+        x = resize(x, spec.input_hw, method="linear")
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
+
+    def forward(p, img_u8, out_hw):
+        # single image == 1-frame window (temporal attention over T=1)
+        d = model.apply({"params": p}, prep_frames(img_u8)[None, None])
+        depth = upsample_depth(d[:, 0], out_hw, clamp=None)[0]
+        return {"depth": jnp.maximum(depth, 0.0)}
+
+    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(),
+            model,
+            example,
+            torch_ckpt=checkpoint,
+            converter=functools.partial(convert_vda, encoder=encoder),
+        )
+
+    class VDAPipeline(DepthPipeline):
+        """Adds the windowed video protocol on top of single-image serving."""
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._window_engines: Dict = {}
+
+        def _window_engine(self, src_hw, t_w):
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+            key = (src_hw, t_w)
+            if key not in self._window_engines:
+                def run(p, frames_u8):
+                    d = model.apply({"params": p}, prep_frames(frames_u8)[None])
+                    return jnp.maximum(d[0], 0.0)
+
+                self._window_engines[key] = Engine(
+                    run,
+                    (self.params,
+                     jax.ShapeDtypeStruct((t_w, *src_hw, 3), jnp.uint8)),
+                    name=f"{spec.artifact_name()}_win{t_w}_{src_hw[0]}x{src_hw[1]}",
+                )
+            return self._window_engines[key]
+
+        def video_depth(self, video_u8) -> np.ndarray:
+            """video (T, H, W, 3) u8 -> depth (T, ih, iw) fp32 at the model
+            resolution (upstream run.py's overlapping-window protocol: each
+            window is one jitted program; stitching = least-squares
+            scale/shift on the overlap + linear cross-fade, on host)."""
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+            )
+
+            video_u8 = np.asarray(video_u8)
+            t_total = video_u8.shape[0]
+            src_hw = video_u8.shape[1:3]
+            ih, iw = spec.input_hw
+            if t_total <= window:
+                # single (right-sized) window — pad by repeating the last
+                # frame so tiny clips reuse one compiled shape per length
+                eng = self._window_engine(src_hw, t_total)
+                d = eng(self.params, device_put_chunked(video_u8))
+                return np.asarray(d)
+
+            eng = self._window_engine(src_hw, window)
+            out = np.zeros((t_total, ih, iw), np.float32)
+            prev_end = 0
+            for s in window_starts(t_total, window, overlap):
+                d = np.asarray(
+                    eng(self.params,
+                        device_put_chunked(video_u8[s: s + window]))
+                )
+                if prev_end == 0:
+                    out[:window] = d
+                else:
+                    ov = prev_end - s  # == overlap except the final window
+                    out[s: s + window] = stitch_window(out[s:prev_end], d, ov)
+                prev_end = s + window
+            return out
+
+        def benchmark(self, in_hw=None, config=None, **_):
+            """Window-program throughput in FRAMES/sec: each dispatch is a
+            full ``window``-frame program (the model's serving unit), so
+            ``iterations`` is scaled by the window length; the reported
+            latency percentiles are per-WINDOW (sync pass)."""
+            from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+                benchmark as _bench,
+            )
+
+            src = tuple(in_hw or spec.input_hw)
+            eng = self._window_engine(src, window)
+            eng.compile()
+            rng = np.random.default_rng(0)
+            fr = jax.device_put(
+                rng.integers(0, 255, (window, *src, 3)).astype(np.uint8)
+            )
+            rep = _bench(lambda f: eng(self.params, f), (fr,), config=config,
+                         name=spec.artifact_name())
+            rep.iterations *= window  # per-frame accounting
+            return rep
+
+    return VDAPipeline(
+        spec, forward, params, viz="metric" if metric else "relative"
+    )
+
+
 @register("litevggt", fidelity="architecture-matched")
 def litevggt(input_size: int = 518, precision: str = "bf16",
              attn_impl: str = "auto", params: Any = None,

@@ -306,6 +306,34 @@ def convert_flashdepth(state_dict: Mapping, encoder: str = "vits",
     }
 
 
+def convert_vda(state_dict: Mapping, encoder: str = "vits",
+                depth: Optional[int] = None) -> Dict:
+    """Video Depth Anything checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_vda.py::TorchVDA``) -> Flax params for
+    :class:`models.video_depth_anything.VideoDepthAnything` (DA-V2 encoder +
+    DPT head with temporal attention blocks after each fusion stage)."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    head = convert_dpt_head(sd, "depth_head")
+    for i in (1, 2, 3, 4):
+        b = f"depth_head.temporal{i}"
+        head[f"temporal_{i}"] = {
+            "norm1": layernorm(sd, f"{b}.norm1"),
+            "qkv": linear(sd, f"{b}.qkv"),
+            "proj": linear(sd, f"{b}.proj"),
+            "norm2": layernorm(sd, f"{b}.norm2"),
+            "fc1": linear(sd, f"{b}.fc1"),
+            "fc2": linear(sd, f"{b}.fc2"),
+        }
+    return {
+        "pretrained": convert_dinovit(sd, "pretrained", depth),
+        "depth_head": head,
+    }
+
+
 def convert_dinov3(state_dict: Mapping, encoder: str = "vitl16") -> Dict:
     """DINOv3 depther checkpoint (torch-mirror layout,
     ``tests/torch_mirror_dinov3.py::TorchDINOv3Depther``) -> Flax params for
