@@ -42,6 +42,7 @@ SUITE = [
     ("video_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
+    ("waft", {}, (280, 504), None),
     ("raft", {}, (288, 512), 21.96),
     ("neuflow", {}, (288, 512), 25.88),
     ("meflow", {}, (288, 512), 18.52),

@@ -336,7 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
     bench.set_defaults(fn=cmd_bench)
 
     flow = sub.add_parser("flow", help="optical flow over frames/video")
-    flow.add_argument("model", choices=["raft", "neuflow", "meflow", "memfof"])
+    flow.add_argument("model",
+                      choices=["raft", "neuflow", "meflow", "memfof", "waft"])
     flow.add_argument("--frames", default="video_frames")
     flow.add_argument("--video", default="")
     flow.add_argument("--out", default="results")

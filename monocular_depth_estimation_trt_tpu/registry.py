@@ -1570,6 +1570,42 @@ def raft(
     return FlowPipeline(spec, forward, params)
 
 
+@register("waft", fidelity="converter-verified")
+def waft(iters: int = 8, input_hw: tuple = (280, 504), encoder: str = "vits",
+         precision: str = "bf16", params: Any = None,
+         checkpoint: Optional[str] = None, **kw) -> "FlowPipeline":
+    """WAFT warping-alone flow (reference ``later/WAFT/``): frame pair ->
+    flow at a 1/7 grid + convex-upsampled full res, no correlation volume.
+    ``input_hw`` must be multiples of 14 (the DINOv2 backbone's patch)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.flow.waft import WAFT
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_waft
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(model="waft", encoder=encoder, input_hw=tuple(input_hw),
+                     precision=precision, extra=(("iters", iters),))
+    model = WAFT(iters=iters, encoder=encoder, dtype=compute_dtype(precision))
+
+    def forward(p, img1_u8, img2_u8, in_hw=tuple(input_hw)):
+        x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        x2 = resize(img2_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        flow_low, flow_up = model.apply({"params": p}, x1, x2)
+        return {"flow_low": flow_low[0], "flow": flow_up[0]}
+
+    example = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, (example, example),
+            torch_ckpt=checkpoint,
+            converter=functools.partial(convert_waft, encoder=encoder),
+        )
+    return FlowPipeline(spec, forward, params)
+
+
 @register("neuflow", fidelity="converter-verified")
 def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
             params: Any = None, checkpoint: Optional[str] = None,

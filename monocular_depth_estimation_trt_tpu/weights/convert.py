@@ -736,6 +736,36 @@ def convert_memfof(state_dict: Mapping) -> Dict:
     }
 
 
+def convert_waft(state_dict: Mapping, encoder: str = "vits",
+                 depth: Optional[int] = None) -> Dict:
+    """WAFT checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_waft.py::TorchWAFT``) -> Flax params for
+    :class:`models.flow.waft.WAFT` (DINOv2 backbone + warp-refine update;
+    GRU kernels fuse z|r through :func:`_sep_gru`)."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    ub = "update_block"
+    return {
+        "pretrained": convert_dinovit(sd, "pretrained", depth),
+        "feat_proj": conv2d(sd, "feat_proj"),
+        "feat_up": conv_transpose_shuffle(sd, "feat_up"),
+        "ctx_proj": conv2d(sd, "ctx_proj"),
+        "ctx_up": conv_transpose_shuffle(sd, "ctx_up"),
+        "step": {"block": {
+            "enc_conv1": conv2d(sd, f"{ub}.enc_conv1"),
+            "enc_conv2": conv2d(sd, f"{ub}.enc_conv2"),
+            "gru": _sep_gru(sd, f"{ub}.gru"),
+            "flow_head_conv1": conv2d(sd, f"{ub}.flow_head_conv1"),
+            "flow_head_conv2": conv2d(sd, f"{ub}.flow_head_conv2"),
+            "mask_conv0": conv2d(sd, f"{ub}.mask_conv0"),
+            "mask_conv2": conv2d(sd, f"{ub}.mask_conv2"),
+        }},
+    }
+
+
 def _neuflow_refine(sd: Mapping, prefix: str) -> Dict:
     return {
         "init": conv2d(sd, f"{prefix}.init"),
