@@ -40,6 +40,7 @@ SUITE = [
     ("map_anything", {}, (518, 518), None),
     ("cotracker3", {}, (384, 512), None),
     ("video_depth_anything", {"encoder": "vits"}, (518, 518), None),
+    ("stream3r", {}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("waft", {}, (280, 504), None),

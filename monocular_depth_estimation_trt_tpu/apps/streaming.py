@@ -184,7 +184,7 @@ class VGGTStreamingSession:
 
     def __init__(self, params, *, cfg=None, window: int = 4,
                  input_size: int = 518, dtype=None, attn_impl: str = "auto",
-                 with_camera: bool = False):
+                 with_camera: bool = False, with_point_head: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -200,7 +200,8 @@ class VGGTStreamingSession:
         self.params = params
         dtype = dtype or jnp.bfloat16
         model = StreamingVGGT(cfg=cfg, max_views=window, dtype=dtype,
-                              attn_impl=attn_impl, with_camera=with_camera)
+                              attn_impl=attn_impl, with_camera=with_camera,
+                              with_point_head=with_point_head)
         grid = (input_size // cfg.patch_size, input_size // cfg.patch_size)
         self._cache = init_stream_cache(cfg, 1, grid, window, dtype)
         self._jit = jax.jit(
@@ -225,11 +226,14 @@ class VGGTStreamingSession:
 
         x = preprocess_pad_square(jnp.asarray(frame_u8), self.input_size)
         out, self._cache = self._jit(self.params, x, self._cache)
-        return {
+        result = {
             "depth": out["depth"][0],
             "depth_conf": out["depth_conf"][0],
-            **({"pose_enc": out["pose_enc"][0]} if "pose_enc" in out else {}),
         }
+        for k in ("pose_enc", "world_points", "world_points_conf"):
+            if k in out:
+                result[k] = out[k][0]
+        return result
 
 
 def run_flow_triplets(

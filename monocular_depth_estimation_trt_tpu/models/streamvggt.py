@@ -35,6 +35,7 @@ from monocular_depth_estimation_trt_tpu.models.vggt import (
     CameraHead,
     VGGTConfig,
     VGGTDepthHead,
+    VGGTPointHead,
     apply_rope,
     rope_2d_freqs,
 )
@@ -155,6 +156,9 @@ class StreamingVGGT(nn.Module):
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     with_camera: bool = False
+    # STream3R serving (later/STream3R): causal per-frame pointmaps via the
+    # upstream point-head family on the same cached aggregator pass
+    with_point_head: bool = False
 
     @nn.compact
     def __call__(self, view: jax.Array, cache: Dict):
@@ -236,6 +240,13 @@ class StreamingVGGT(nn.Module):
             dtype=self.dtype, name="depth_head",
         )(outs, (ph, pw), num_special)
         out = {"depth": depth[:, 0], "depth_conf": conf[:, 0]}
+        if self.with_point_head:
+            pts, pconf = VGGTPointHead(
+                features=c.head_features, out_channels=c.head_out_channels,
+                dtype=self.dtype, name="point_head",
+            )(outs, (ph, pw), num_special)
+            out["world_points"] = pts[:, 0]
+            out["world_points_conf"] = pconf[:, 0]
         if self.with_camera:
             # the camera head attends across views; run it over the buffered
             # camera tokens with the valid-slot mask and read this step's slot

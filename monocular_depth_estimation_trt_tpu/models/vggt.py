@@ -385,6 +385,43 @@ class VGGTDepthHead(nn.Module):
         )
 
 
+class VGGTPointHead(nn.Module):
+    """Upstream VGGT's second dense head: 4 channels per view — pts3d with
+    the sign-preserving ``inv_log`` activation (xyz = sign(u)*(e^{|u|}-1))
+    + confidence (``expp1``). STream3R reuses this head family causally
+    (reference ``later/STream3R/README.md``: streaming images -> per-frame
+    pointmaps)."""
+
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, agg_tokens, patch_hw, num_special: int):
+        ph, pw = patch_hw
+        feats = []
+        b, s = agg_tokens[0].shape[:2]
+        for t in agg_tokens:
+            patches = t[:, :, num_special:]
+            feats.append(
+                (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
+            )
+        out = DPTHead(
+            in_channels=feats[0][0].shape[-1],
+            features=self.features,
+            out_channels=self.out_channels,
+            final_act="none",
+            num_outputs=4,
+            dtype=self.dtype,
+            name="dpt",
+        )(feats, (ph, pw))  # (B*S, H, W, 4)
+        xyz = out[..., :3]
+        pts = jnp.sign(xyz) * jnp.expm1(jnp.clip(jnp.abs(xyz), 0.0, 10.0))
+        conf = 1.0 + jnp.exp(jnp.clip(out[..., 3], -10.0, 10.0))
+        H, W = ph * 14, pw * 14
+        return pts.reshape(b, s, H, W, 3), conf.reshape(b, s, H, W)
+
+
 def build_stage_pipeline(
     params,
     cfg: "VGGTConfig" = None,
@@ -451,6 +488,7 @@ class VGGT(nn.Module):
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
     with_camera: bool = True
+    with_point_head: bool = False
 
     @nn.compact
     def __call__(self, views: jax.Array):
@@ -463,6 +501,14 @@ class VGGT(nn.Module):
             dtype=self.dtype, name="depth_head",
         )(agg, patch_hw, num_special)
         out = {"depth": depth, "depth_conf": conf}
+        if self.with_point_head:
+            pts, pconf = VGGTPointHead(
+                features=self.cfg.head_features,
+                out_channels=self.cfg.head_out_channels,
+                dtype=self.dtype, name="point_head",
+            )(agg, patch_hw, num_special)
+            out["world_points"] = pts
+            out["world_points_conf"] = pconf
         if self.with_camera:
             out["pose_enc"] = CameraHead(
                 2 * self.cfg.dim, num_heads=self.cfg.num_heads,

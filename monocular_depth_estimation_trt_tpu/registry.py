@@ -695,6 +695,93 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=False, checkpoint=checkpoint)
 
 
+@register("stream3r", fidelity="converter-verified")
+def stream3r(input_size: int = 518, precision: str = "bf16",
+             attn_impl: str = "auto", params: Any = None,
+             checkpoint: Optional[str] = None, vggt_cfg: Any = None,
+             **kw) -> DepthPipeline:
+    """STream3R scalable sequential 3D reconstruction (reference
+    ``later/STream3R/``): a causal VGGT-family transformer streaming images
+    into per-frame pointmaps. Served as the causal aggregator + the upstream
+    point head (inv_log pts3d + expp1 conf) alongside depth and camera;
+    single images run through the standard pipeline, ``pipe.stream(window)``
+    returns the KV-cache causal session (per-step cost independent of the
+    stream length — the serving mode STream3R is built for)."""
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT, VGGTConfig
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        preprocess_pad_square,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_vggt
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    cfg = vggt_cfg or VGGTConfig(causal=True)
+    spec = ModelSpec(
+        model="stream3r", input_hw=(input_size, input_size),
+        precision=precision, metric=True,
+    )
+    model = VGGT(
+        cfg=cfg, dtype=compute_dtype(precision), attn_impl=attn_impl,
+        with_camera=True, with_point_head=True,
+    )
+
+    def forward(p, img_u8, out_hw):
+        h0, w0 = out_hw
+        x = preprocess_pad_square(img_u8, input_size)
+        out = model.apply({"params": p}, x[:, None])  # S=1
+        side = max(h0, w0)
+        top = int(round((side - h0) / 2 / side * input_size))
+        left = int(round((side - w0) / 2 / side * input_size))
+        hh = max(int(round(h0 / side * input_size)), 1)
+        ww = max(int(round(w0 / side * input_size)), 1)
+
+        def crop(a):
+            return a[:, top: top + hh, left: left + ww]
+
+        depth = upsample_depth(crop(out["depth"][:, 0]), out_hw,
+                               clamp=(1e-3, 1e3))[0]
+        pts = resize(crop(out["world_points"][:, 0]), out_hw,
+                     method="linear")[0]
+        pconf = upsample_depth(crop(out["world_points_conf"][:, 0]), out_hw,
+                               clamp=None)[0]
+        pose = out["pose_enc"][0, 0]
+        return {"depth": depth, "world_points": pts,
+                "world_points_conf": pconf, "pose_enc": pose}
+
+    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(
+                convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
+            ),
+        )
+
+    dtype = compute_dtype(precision)
+
+    class Stream3RPipeline(DepthPipeline):
+        # named stream_session (not .stream) so run_video's per-frame
+        # FlashDepth-style hook does not mistake this batch-step API
+        def stream_session(self, window: int = 4):
+            from monocular_depth_estimation_trt_tpu.apps.streaming import (
+                VGGTStreamingSession,
+            )
+
+            return VGGTStreamingSession(
+                self.params, cfg=cfg, window=window, input_size=input_size,
+                dtype=dtype, attn_impl=attn_impl, with_camera=True,
+                with_point_head=True,
+            )
+
+    return Stream3RPipeline(spec, forward, params, viz="metric")
+
+
 @register("flashdepth", fidelity="converter-verified")
 def flashdepth(encoder: str = "vits", input_size: int = 518,
                precision: str = "bf16", attn_impl: str = "auto",

@@ -558,12 +558,16 @@ def convert_vggt(state_dict: Mapping, vit_depth: int = 24, depth: int = 24,
                  trunk_depth: int = 4, with_camera: bool = True) -> Dict:
     """VGGT checkpoint (torch-mirror layout,
     ``tests/torch_mirror_vggt.py::TorchVGGT``) -> Flax params for
-    :class:`models.vggt.VGGT` (aggregator / depth_head / camera_head)."""
+    :class:`models.vggt.VGGT` (aggregator / depth_head / camera_head, plus
+    point_head when the checkpoint carries one — upstream VGGT's and
+    STream3R's pointmap head)."""
     sd = state_dict
     out = {
         "aggregator": _convert_aggregator(sd, "aggregator", vit_depth, depth),
         "depth_head": {"dpt": _convert_vggt_dpt(sd, "depth_head.dpt")},
     }
+    if "point_head.dpt.projects.0.weight" in sd:
+        out["point_head"] = {"dpt": _convert_vggt_dpt(sd, "point_head.dpt")}
     if with_camera:
         out["camera_head"] = _convert_camera_head(sd, "camera_head", trunk_depth)
     return out

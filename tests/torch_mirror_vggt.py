@@ -210,6 +210,28 @@ class TorchVGGTDepthHead(nn.Module):
         return depth.reshape(B, S, H, W), conf.reshape(B, S, H, W)
 
 
+class TorchVGGTPointHead(nn.Module):
+    """Upstream point head: pts3d (sign-preserving inv_log) + conf (expp1)."""
+
+    def __init__(self, in_ch, features=256, out_channels=(256, 512, 1024, 1024)):
+        super().__init__()
+        self.dpt = TorchVGGTDPT(in_ch, features, out_channels, n_out=4)
+
+    def forward(self, agg_tokens, ph, pw, num_special):
+        B, S = agg_tokens[0].shape[:2]
+        feats = [
+            t[:, :, num_special:].reshape(B * S, ph * pw, t.shape[-1])
+            for t in agg_tokens
+        ]
+        out = self.dpt(feats, ph, pw).float()  # (B*S, 4, H, W)
+        xyz = out[:, :3]
+        pts = torch.sign(xyz) * torch.expm1(xyz.abs().clamp(0, 10))
+        conf = 1.0 + out[:, 3].clamp(-10, 10).exp()
+        H, W = ph * 14, pw * 14
+        return (pts.permute(0, 2, 3, 1).reshape(B, S, H, W, 3),
+                conf.reshape(B, S, H, W))
+
+
 class TorchPoseBranch(nn.Module):
     def __init__(self, dim):
         super().__init__()
@@ -282,7 +304,7 @@ class TorchVGGT(nn.Module):
     def __init__(self, vit_dim, vit_depth, vit_heads, dim, depth, num_heads,
                  head_layers, grid_hw, num_register_tokens=4,
                  head_features=16, head_out_channels=(8, 16, 32, 32),
-                 pretrain_img=70):
+                 pretrain_img=70, with_point_head=False):
         super().__init__()
         self.num_special = 1 + num_register_tokens
         self.grid_hw = grid_hw
@@ -292,6 +314,9 @@ class TorchVGGT(nn.Module):
         )
         self.depth_head = TorchVGGTDepthHead(2 * dim, head_features,
                                              head_out_channels)
+        if with_point_head:
+            self.point_head = TorchVGGTPointHead(2 * dim, head_features,
+                                                 head_out_channels)
         self.camera_head = TorchCameraHead(2 * dim, trunk_depth=4,
                                            num_heads=num_heads)
 
@@ -300,4 +325,7 @@ class TorchVGGT(nn.Module):
         ph, pw = self.grid_hw
         depth, conf = self.depth_head(agg, ph, pw, self.num_special)
         pose = self.camera_head(agg[-1])
+        if hasattr(self, "point_head"):
+            pts, pconf = self.point_head(agg, ph, pw, self.num_special)
+            return depth, conf, pose, pts, pconf
         return depth, conf, pose
