@@ -240,6 +240,52 @@ def cmd_track(args) -> int:
     return 0
 
 
+def cmd_pair(args) -> int:
+    """Two-image 3D reconstruction -> depth JPG + colored point-cloud PLY +
+    relative-pose JSON (reference ``later/Align3R/README.md`` contract:
+    "two 2d images -> depth, point cloud, Camera pose")."""
+    import json
+
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu.apps.ply import write_ply
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    img1 = _load_image(args.image1)
+    img2 = _load_image(args.image2)
+    pipe = build_pipeline(args.model)
+    out = pipe(img1, img2)
+
+    os.makedirs(args.out, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.image1))[0]
+    name = pipe.spec.artifact_name()
+
+    depth = np.asarray(out["depth"])
+    log(f"max : {depth.max():.5f} , min : {depth.min():.5f}")
+    norm = ((depth - depth.min()) / max(depth.max() - depth.min(), 1e-6)
+            * 255).astype(np.uint8)
+    jpg = os.path.join(args.out, f"{stem}_{name}.jpg")
+    cv2.imwrite(jpg, cv2.applyColorMap(norm, cv2.COLORMAP_INFERNO))
+    log(f"wrote {jpg}")
+
+    ih = depth.shape[0]
+    c1 = cv2.resize(img1, (ih, ih)).reshape(-1, 3)
+    c2 = cv2.resize(img2, (ih, ih)).reshape(-1, 3)
+    pts = np.concatenate([np.asarray(out["pts1"]).reshape(-1, 3),
+                          np.asarray(out["pts2"]).reshape(-1, 3)])
+    ply = os.path.join(args.out, f"{stem}_{name}.ply")
+    write_ply(ply, pts, np.concatenate([c1, c2]))
+    log(f"wrote {ply}")
+
+    pose = os.path.join(args.out, f"{stem}_{name}_pose.json")
+    with open(pose, "w") as f:
+        json.dump({"rotation": np.asarray(out["rotation"]).tolist(),
+                   "translation": np.asarray(out["translation"]).tolist()},
+                  f, indent=2)
+    log(f"wrote {pose}")
+    return 0
+
+
 def cmd_webcam(args) -> int:
     """Live depth viewer (reference ``Depth_Pro/onnx2trt_webcam.py``; accepts
     an IP-camera URL)."""
@@ -362,6 +408,15 @@ def build_parser() -> argparse.ArgumentParser:
     track.add_argument("--max-frames", type=int, default=0)
     track.set_defaults(fn=cmd_track)
 
+    pair = sub.add_parser("pair",
+                          help="two-image 3D reconstruction (depth + "
+                               "pointcloud + relative pose)")
+    pair.add_argument("model", nargs="?", default="align3r")
+    pair.add_argument("--image1", required=True)
+    pair.add_argument("--image2", required=True)
+    pair.add_argument("--out", default="results")
+    pair.set_defaults(fn=cmd_pair)
+
     webcam = sub.add_parser("webcam", help="live depth viewer (webcam or IP cam)")
     webcam.add_argument("model")
     webcam.add_argument("--encoder", default="")
@@ -379,7 +434,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam, track):
+    for sp in (run, flow, video, webcam, track, pair):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

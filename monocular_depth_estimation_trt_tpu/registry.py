@@ -695,6 +695,156 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=False, checkpoint=checkpoint)
 
 
+@register("align3r", fidelity="converter-verified")
+def align3r(input_size: int = 512, precision: str = "bf16",
+            attn_impl: str = "auto", params: Any = None,
+            checkpoint: Optional[str] = None, model_kw: Optional[Dict] = None,
+            prior_params: Any = None, **kw):
+    """Align3R pairwise dynamic-scene reconstruction (reference
+    ``later/Align3R/``): two images -> per-view pointmaps + confidence in
+    view 1's frame, view-1 depth, and the relative camera pose. The depth
+    prior (a frozen DA-V2 estimate per frame) is computed in-graph, both
+    pair orders batch through ONE jitted program, and the pose comes from
+    confidence-weighted Procrustes on the cross-view pointmaps
+    (``ops/procrustes.py``) — closed-form on device, no RANSAC."""
+    import jax
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.align3r import Align3R
+    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
+        DepthAnythingV2,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import normalize
+    from monocular_depth_estimation_trt_tpu.ops.procrustes import (
+        weighted_procrustes,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_align3r,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+    from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+    dtype = compute_dtype(precision)
+    spec = ModelSpec(
+        model="align3r", input_hw=(input_size, input_size),
+        precision=precision, metric=True,
+    )
+    model = Align3R(dtype=dtype, attn_impl=attn_impl, **(model_kw or {}))
+    prior_model = DepthAnythingV2(encoder="vits", dtype=dtype,
+                                  attn_impl=attn_impl)
+    # the frozen prior runs on a /14 grid; nearest multiple of 14 below 518
+    prior_size = max((input_size // 14) * 14, 14)
+
+    def pair_forward(p, img1_u8, img2_u8):
+        in_hw = spec.input_hw
+        x1 = resize(img1_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        x2 = resize(img2_u8.astype(jnp.float32), in_hw, method="linear")[None]
+        # in-graph frozen DA-V2 priors for both frames in one batched pass
+        both = jnp.concatenate([x1, x2], axis=0) / 255.0
+        pri_in = normalize(resize(both, (prior_size, prior_size),
+                                  method="linear"),
+                           IMAGENET_MEAN, IMAGENET_STD)
+        pri = prior_model.apply({"params": p["prior"]}, pri_in)
+        pri = resize(pri[..., None], in_hw, method="linear")[..., 0]
+        prior1, prior2 = pri[:1], pri[1:]
+        # both pair orders as ONE batch-2 call: row 0 = (1,2), row 1 = (2,1)
+        a = jnp.concatenate([x1, x2], axis=0)
+        bb = jnp.concatenate([x2, x1], axis=0)
+        pa = jnp.concatenate([prior1, prior2], axis=0)
+        pb = jnp.concatenate([prior2, prior1], axis=0)
+        out = model.apply({"params": p["align3r"]}, a, bb, pa, pb)
+        pts1, conf1 = out["pts1"][:1], out["conf1"][:1]   # view1 in frame1
+        pts2, conf2 = out["pts2"][:1], out["conf2"][:1]   # view2 in frame1
+        pts2_own = out["pts1"][1:]                        # view2 in frame2
+        conf2_own = out["conf1"][1:]
+        # relative pose frame2 -> frame1 from the shared physical points
+        w = (conf2 * conf2_own).reshape(1, -1)
+        R, t = weighted_procrustes(
+            pts2_own.reshape(1, -1, 3), pts2.reshape(1, -1, 3), w
+        )
+        return {
+            "depth": jnp.maximum(pts1[0, ..., 2], 1e-3),
+            "pts1": pts1[0], "conf1": conf1[0],
+            "pts2": pts2[0], "conf2": conf2[0],
+            "rotation": R[0], "translation": t[0],
+        }
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        a3r_params = get_or_convert_params(
+            spec.artifact_name(), model,
+            (example, example,
+             jnp.zeros((1, input_size, input_size), jnp.float32),
+             jnp.zeros((1, input_size, input_size), jnp.float32)),
+            torch_ckpt=checkpoint, converter=convert_align3r,
+        )
+        if prior_params is None:
+            pspec = ModelSpec(model="depth_anything_v2", encoder="vits",
+                              input_hw=(prior_size, prior_size),
+                              precision=precision)
+            from monocular_depth_estimation_trt_tpu.weights.convert import (
+                convert_depth_anything_v2,
+            )
+            prior_params = get_or_convert_params(
+                pspec.artifact_name(), prior_model,
+                jnp.zeros((1, prior_size, prior_size, 3), jnp.float32),
+                converter=functools.partial(convert_depth_anything_v2,
+                                            encoder="vits"),
+            )
+        params = {"align3r": a3r_params, "prior": prior_params}
+
+    class Align3RPipeline:
+        """Two-image API (FlowPipeline shape): pipe(img1, img2) -> dict."""
+
+        def __init__(self):
+            self.spec = spec
+            self.params = params
+            self._engines = {}
+
+        def engine_for(self, in_hw):
+            if in_hw not in self._engines:
+                ex = jax.ShapeDtypeStruct((*in_hw, 3), jnp.uint8)
+                self._engines[in_hw] = Engine(
+                    pair_forward, (self.params, ex, ex),
+                    name=f"{spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}",
+                )
+            return self._engines[in_hw]
+
+        def __call__(self, frame1, frame2):
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+                tree_get_chunked,
+            )
+
+            eng = self.engine_for(frame1.shape[:2])
+            out = eng(
+                self.params,
+                device_put_chunked(np.asarray(frame1)),
+                device_put_chunked(np.asarray(frame2)),
+            )
+            return tree_get_chunked(out)
+
+        def benchmark(self, in_hw=None, config=None, **_):
+            from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+                benchmark as _bench,
+            )
+
+            src = tuple(in_hw or spec.input_hw)
+            eng = self.engine_for(src)
+            eng.compile()
+            rng = np.random.default_rng(0)
+            f1 = jax.device_put(
+                rng.integers(0, 255, (*src, 3), dtype=np.uint8))
+            f2 = jax.device_put(
+                rng.integers(0, 255, (*src, 3), dtype=np.uint8))
+            return _bench(lambda a, b2: eng(self.params, a, b2), (f1, f2),
+                          config=config, name=spec.artifact_name())
+
+    return Align3RPipeline()
+
+
 @register("stream3r", fidelity="converter-verified")
 def stream3r(input_size: int = 518, precision: str = "bf16",
              attn_impl: str = "auto", params: Any = None,

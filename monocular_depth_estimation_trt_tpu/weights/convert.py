@@ -740,6 +740,40 @@ def convert_memfof(state_dict: Mapping) -> Dict:
     }
 
 
+def convert_align3r(state_dict: Mapping, enc_depth: int = 24,
+                    dec_depth: int = 12) -> Dict:
+    """Align3R checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_align3r.py::TorchAlign3R``) -> Flax params for
+    :class:`models.align3r.Align3R` (two-view DUSt3R-style decoder with
+    depth-prior injection; heads through :func:`_convert_vggt_dpt`)."""
+    sd = state_dict
+    out: Dict[str, Any] = {
+        "encoder": convert_dinovit(sd, "encoder", enc_depth),
+        "decoder_embed": linear(sd, "decoder_embed"),
+        "prior_embed": conv2d(sd, "prior_embed"),
+        "head1": _convert_vggt_dpt(sd, "head1"),
+        "head2": _convert_vggt_dpt(sd, "head2"),
+    }
+    for side in (1, 2):
+        for i in range(dec_depth):
+            b = f"dec{side}.{i}"
+            out[f"dec{side}_{i}"] = {
+                "norm1": layernorm(sd, f"{b}.norm1"),
+                "self_q": linear(sd, f"{b}.self_q"),
+                "self_kv": linear(sd, f"{b}.self_kv"),
+                "self_proj": linear(sd, f"{b}.self_proj"),
+                "norm2": layernorm(sd, f"{b}.norm2"),
+                "norm_y": layernorm(sd, f"{b}.norm_y"),
+                "cross_q": linear(sd, f"{b}.cross_q"),
+                "cross_kv": linear(sd, f"{b}.cross_kv"),
+                "cross_proj": linear(sd, f"{b}.cross_proj"),
+                "norm3": layernorm(sd, f"{b}.norm3"),
+                "fc1": linear(sd, f"{b}.fc1"),
+                "fc2": linear(sd, f"{b}.fc2"),
+            }
+    return out
+
+
 def convert_waft(state_dict: Mapping, encoder: str = "vits",
                  depth: Optional[int] = None) -> Dict:
     """WAFT checkpoint (torch-mirror layout,

@@ -61,6 +61,7 @@ def test_registry_covers_staged_model_dirs():
     models = set(list_models())
     staged = {"dkt", "bridge", "litevggt", "flashdepth",
               "prior_depth_anything", "dinov3", "geocalib", "map_anything",
-              "cotracker3", "video_depth_anything", "waft", "stream3r"}
+              "cotracker3", "video_depth_anything", "waft", "stream3r",
+              "align3r"}
     missing = staged - models
     assert not missing, f"unregistered staged models: {missing}"
