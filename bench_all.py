@@ -42,6 +42,7 @@ SUITE = [
     ("video_depth_anything", {"encoder": "vits"}, (518, 518), None),
     ("stream3r", {}, (518, 518), None),
     ("align3r", {}, (512, 512), None),
+    ("sidepth", {"encoder": "vits"}, (518, 518), None),
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("waft", {}, (280, 504), None),

@@ -695,6 +695,54 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
                        with_camera=False, checkpoint=checkpoint)
 
 
+@register("sidepth", fidelity="converter-verified")
+def sidepth(encoder: str = "vits", input_size: int = 518,
+            precision: str = "bf16", attn_impl: str = "auto",
+            params: Any = None, checkpoint: Optional[str] = None,
+            model_kw: Optional[Dict] = None, **kw) -> DepthPipeline:
+    """SIDepth scale-invariant depth (reference ``later/SIDepth/``): a
+    frozen SSI relative stage + a conditioning network that resolves the
+    shift ambiguity — output is metric up to one global scale. Both stages
+    fuse into one jitted program; the SSI map is also returned."""
+    import jax
+
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+    from monocular_depth_estimation_trt_tpu.models.sidepth import SIDepth
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.resize import resize
+    from monocular_depth_estimation_trt_tpu.weights.convert import convert_sidepth
+    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    spec = ModelSpec(
+        model="sidepth", encoder=encoder, input_hw=(input_size, input_size),
+        precision=precision,
+    )
+    model = SIDepth(encoder=encoder, dtype=compute_dtype(precision),
+                    attn_impl=attn_impl, **(model_kw or {}))
+
+    def forward(p, img_u8, out_hw):
+        x = to_float_rgb(img_u8)
+        x = resize(x, spec.input_hw, method="linear")
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+        out = model.apply({"params": p}, x)
+        return {
+            "depth": upsample_depth(out["depth"], out_hw, clamp=(1e-3, 1e3))[0],
+            "ssi": upsample_depth(out["ssi"], out_hw, clamp=None)[0],
+        }
+
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    if params is None:
+        params = get_or_convert_params(
+            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
+            converter=functools.partial(convert_sidepth, encoder=encoder),
+        )
+    return DepthPipeline(spec, forward, params, viz="relative")
+
+
 @register("align3r", fidelity="converter-verified")
 def align3r(input_size: int = 512, precision: str = "bf16",
             attn_impl: str = "auto", params: Any = None,

@@ -740,6 +740,24 @@ def convert_memfof(state_dict: Mapping) -> Dict:
     }
 
 
+def convert_sidepth(state_dict: Mapping, encoder: str = "vits",
+                    depth: Optional[int] = None) -> Dict:
+    """SIDepth checkpoint (torch-mirror layout,
+    ``tests/torch_mirror_sidepth.py::TorchSIDepth``) -> Flax params for
+    :class:`models.sidepth.SIDepth` (SSI stage + 4-channel SI stage)."""
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+
+    if depth is None:
+        depth = VIT_CONFIGS[encoder].depth
+    sd = state_dict
+    return {
+        "ssi": convert_dinovit(sd, "ssi", depth),
+        "ssi_head": convert_dpt_head(sd, "ssi_head"),
+        "si": convert_dinovit(sd, "si", depth),
+        "si_head": convert_dpt_head(sd, "si_head"),
+    }
+
+
 def convert_align3r(state_dict: Mapping, enc_depth: int = 24,
                     dec_depth: int = 12) -> Dict:
     """Align3R checkpoint (torch-mirror layout,

@@ -62,6 +62,6 @@ def test_registry_covers_staged_model_dirs():
     staged = {"dkt", "bridge", "litevggt", "flashdepth",
               "prior_depth_anything", "dinov3", "geocalib", "map_anything",
               "cotracker3", "video_depth_anything", "waft", "stream3r",
-              "align3r"}
+              "align3r", "sidepth"}
     missing = staged - models
     assert not missing, f"unregistered staged models: {missing}"
