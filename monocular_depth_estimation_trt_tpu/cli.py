@@ -225,6 +225,8 @@ def cmd_track(args) -> int:
             break
         frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
     cap.release()
+    if not frames:
+        raise ValueError(f"[MDET] no frames decoded from {args.video}")
     video = np.stack(frames)
     tracks, vis = pipe.track_video(video)
     # tracks are at the model resolution; rescale to the source video

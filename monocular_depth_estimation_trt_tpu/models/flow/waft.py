@@ -71,7 +71,11 @@ def upsample_flow_convex_k(flow: jax.Array, mask: jax.Array, k: int) -> jax.Arra
 
 class WarpUpdateBlock(nn.Module):
     """One warp-refine update: motion encoding from the warped feature pair
-    (no cost volume) -> SepConvGRU -> delta flow + convex mask."""
+    (no cost volume) -> SepConvGRU -> delta flow. The convex-upsampling mask
+    head lives OUTSIDE the scan (on the final hidden state) — the torch
+    mirror computes it every iteration but only the last one is consumed, so
+    hoisting it drops (iters-1) dead 441-channel head evaluations with
+    identical output."""
 
     hidden: int = 128
     dtype: Any = jnp.float32
@@ -92,30 +96,26 @@ class WarpUpdateBlock(nn.Module):
                             name="flow_head_conv1")(net))
         delta = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype,
                         name="flow_head_conv2")(d)
-        mk = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
-                             name="mask_conv0")(net))
-        mask = 0.25 * nn.Conv(UP * UP * 9, (1, 1), dtype=self.dtype,
-                              name="mask_conv2")(mk)
-        return net, mask, delta
+        return net, delta
 
 
 class _WAFTStep(nn.Module):
     """Scanned iteration: warp f2 by the current flow + update.
-    carry = (net, flow, mask); consts = (inp, f1, f2, gx, gy)."""
+    carry = (net, flow); consts = (inp, f1, f2, gx, gy)."""
 
     hidden: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, consts):
-        net, flow, _ = carry
+        net, flow = carry
         inp, f1, f2, gx, gy = consts
         warped = bilinear_sample_nhwc(
             f2, gx + flow[..., 0], gy + flow[..., 1]
         ).astype(self.dtype)
-        net, mask, delta = WarpUpdateBlock(self.hidden, self.dtype,
-                                           name="block")(net, inp, f1, warped, flow)
-        return (net, flow + delta, mask), None
+        net, delta = WarpUpdateBlock(self.hidden, self.dtype,
+                                     name="block")(net, inp, f1, warped, flow)
+        return (net, flow + delta), None
 
 
 class WAFT(nn.Module):
@@ -157,7 +157,6 @@ class WAFT(nn.Module):
         g = coords_grid(b, h, w, jnp.float32)
         gx, gy = g[..., 0], g[..., 1]
         flow0 = jnp.zeros((b, h, w, 2), jnp.float32)
-        mask0 = jnp.zeros((b, h, w, UP * UP * 9), self.dtype)
 
         step = nn.scan(
             _WAFTStep,
@@ -167,8 +166,14 @@ class WAFT(nn.Module):
             out_axes=0,
             length=self.iters,
         )(self.hidden, self.dtype, name="step")
-        (net, flow, mask), _ = step((net, flow0, mask0),
-                                    (inp, f1, f2, gx, gy))
+        (net, flow), _ = step((net, flow0), (inp, f1, f2, gx, gy))
+
+        # convex-mask head ONCE on the final hidden state (== the torch
+        # mirror's last-iteration mask)
+        mk = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                             name="mask_conv0")(net))
+        mask = 0.25 * nn.Conv(UP * UP * 9, (1, 1), dtype=self.dtype,
+                              name="mask_conv2")(mk)
 
         flow_up = upsample_flow_convex_k(
             flow.astype(jnp.float32), mask.astype(jnp.float32), UP

@@ -37,6 +37,7 @@ from monocular_depth_estimation_trt_tpu.models.vggt import (
     Aggregator,
     CameraHead,
     VGGTConfig,
+    apply_view_dpt,
 )
 
 
@@ -51,23 +52,17 @@ class MapAnythingDenseHead(nn.Module):
     @nn.compact
     def __call__(self, agg_tokens, patch_hw, num_special: int):
         ph, pw = patch_hw
-        b, s = agg_tokens[0].shape[:2]
-        feats = []
-        for t in agg_tokens:
-            patches = t[:, :, num_special:]
-            feats.append(
-                (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
-            )
-        out = DPTHead(
-            in_channels=feats[0][0].shape[-1],
+        dpt = DPTHead(
+            in_channels=agg_tokens[0].shape[-1],
             features=self.features,
             out_channels=self.out_channels,
             final_act="none",
             num_outputs=6,
             dtype=self.dtype,
             name="dpt",
-        )(feats, (ph, pw))  # (B*S, H, W, 6) fp32
-        H, W = ph * 14, pw * 14
+        )
+        out, b, s = apply_view_dpt(dpt, agg_tokens, patch_hw, num_special)
+        H, W = ph * dpt.patch_size, pw * dpt.patch_size
         ray = jnp.concatenate(
             [out[..., 0:2], nn.softplus(out[..., 2:3]) + 1e-3], axis=-1
         )

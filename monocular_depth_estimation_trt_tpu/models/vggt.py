@@ -346,6 +346,22 @@ class CameraHead(nn.Module):
         return jnp.concatenate([t, quat, fov], axis=-1)
 
 
+def apply_view_dpt(dpt: DPTHead, agg_tokens, patch_hw, num_special: int):
+    """Run a DPT trunk over multi-view aggregated tokens: fold (B, S) into
+    the batch, drop the special tokens, and return the raw head output
+    (B*S, ph*p, pw*p, C) plus (b, s) for the caller's reshape — the shared
+    wrapper for every VGGT-family dense head (depth / point / MapAnything)."""
+    ph, pw = patch_hw
+    b, s = agg_tokens[0].shape[:2]
+    feats = []
+    for t in agg_tokens:
+        patches = t[:, :, num_special:]  # (B, S, ph*pw, 2dim)
+        feats.append(
+            (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
+        )
+    return dpt(feats, (ph, pw)), b, s
+
+
 class VGGTDepthHead(nn.Module):
     """Single DPT head over aggregated tokens -> 2 channels per view:
     depth (exp activation) + confidence (1 + exp, upstream ``expp1``) —
@@ -359,26 +375,19 @@ class VGGTDepthHead(nn.Module):
     @nn.compact
     def __call__(self, agg_tokens, patch_hw, num_special: int):
         ph, pw = patch_hw
-        # fold (B, S) into batch; drop special tokens
-        feats = []
-        b, s = agg_tokens[0].shape[:2]
-        for t in agg_tokens:
-            patches = t[:, :, num_special:]  # (B, S, ph*pw, 2dim)
-            feats.append(
-                (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
-            )
-        out = DPTHead(
-            in_channels=feats[0][0].shape[-1],
+        dpt = DPTHead(
+            in_channels=agg_tokens[0].shape[-1],
             features=self.features,
             out_channels=self.out_channels,
             final_act="none",
             num_outputs=2,
             dtype=self.dtype,
             name="dpt",
-        )(feats, (ph, pw))  # (B*S, H, W, 2)
+        )
+        out, b, s = apply_view_dpt(dpt, agg_tokens, patch_hw, num_special)
         depth = jnp.exp(jnp.clip(out[..., 0], -10.0, 10.0))
         conf = 1.0 + jnp.exp(jnp.clip(out[..., 1], -10.0, 10.0))
-        H, W = ph * 14, pw * 14
+        H, W = ph * dpt.patch_size, pw * dpt.patch_size
         return (
             depth.reshape(b, s, H, W),
             conf.reshape(b, s, H, W),
@@ -399,26 +408,20 @@ class VGGTPointHead(nn.Module):
     @nn.compact
     def __call__(self, agg_tokens, patch_hw, num_special: int):
         ph, pw = patch_hw
-        feats = []
-        b, s = agg_tokens[0].shape[:2]
-        for t in agg_tokens:
-            patches = t[:, :, num_special:]
-            feats.append(
-                (patches.reshape(b * s, ph * pw, patches.shape[-1]), None)
-            )
-        out = DPTHead(
-            in_channels=feats[0][0].shape[-1],
+        dpt = DPTHead(
+            in_channels=agg_tokens[0].shape[-1],
             features=self.features,
             out_channels=self.out_channels,
             final_act="none",
             num_outputs=4,
             dtype=self.dtype,
             name="dpt",
-        )(feats, (ph, pw))  # (B*S, H, W, 4)
+        )
+        out, b, s = apply_view_dpt(dpt, agg_tokens, patch_hw, num_special)
         xyz = out[..., :3]
         pts = jnp.sign(xyz) * jnp.expm1(jnp.clip(jnp.abs(xyz), 0.0, 10.0))
         conf = 1.0 + jnp.exp(jnp.clip(out[..., 3], -10.0, 10.0))
-        H, W = ph * 14, pw * 14
+        H, W = ph * dpt.patch_size, pw * dpt.patch_size
         return pts.reshape(b, s, H, W, 3), conf.reshape(b, s, H, W)
 
 

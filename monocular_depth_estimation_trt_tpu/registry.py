@@ -1214,14 +1214,18 @@ def video_depth_anything(encoder: str = "vits", input_size: int = 518,
             t_total = video_u8.shape[0]
             src_hw = video_u8.shape[1:3]
             ih, iw = spec.input_hw
-            if t_total <= window:
-                # single (right-sized) window — pad by repeating the last
-                # frame so tiny clips reuse one compiled shape per length
-                eng = self._window_engine(src_hw, t_total)
-                d = eng(self.params, device_put_chunked(video_u8))
-                return np.asarray(d)
-
             eng = self._window_engine(src_hw, window)
+            if t_total <= window:
+                # pad by repeating the last frame so every clip length
+                # reuses the ONE compiled window program (compiles are
+                # minutes on the remote TPU), then trim
+                padded = np.concatenate(
+                    [video_u8,
+                     np.repeat(video_u8[-1:], window - t_total, axis=0)]
+                )
+                d = eng(self.params, device_put_chunked(padded))
+                return np.asarray(d)[:t_total]
+
             out = np.zeros((t_total, ih, iw), np.float32)
             prev_end = 0
             for s in window_starts(t_total, window, overlap):
@@ -1574,16 +1578,33 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
             "non_ambiguous_mask": nam,
             "non_ambiguous_mask_logits": logits,
             "metric_scaling_factor": out["metric_scaling_factor"],
-            "img_no_norm": rgb01,
+            # de-normalize back to [0,1] RGB (the reference's img_no_norm
+            # output set, later/Map_Anything/infer.py) — the model input is
+            # ImageNet-normalized
+            "img_no_norm": jnp.clip(
+                rgb01 * jnp.asarray(IMAGENET_STD)
+                + jnp.asarray(IMAGENET_MEAN), 0.0, 1.0
+            ),
         }
 
     def forward(p, img_u8, out_hw):
-        x = preprocess_pad_square(img_u8, input_size)  # [0,1] square
+        h0, w0 = out_hw
+        x = preprocess_pad_square(img_u8, input_size)  # normalized square
         out = model.apply({"params": p}, x[:, None])
         full = compose(out, x[:, None])
-        # standard pipeline contract on top (depth at original resolution)
-        depth = upsample_depth(full["depth_z"][0, :, :, :, 0], out_hw,
-                               clamp=(1e-3, 1e3))[0]
+        # standard pipeline contract on top: crop the pad-to-square border
+        # (as the other VGGT-family pipelines do) before resampling depth
+        # to the source resolution
+        side = max(h0, w0)
+        top = int(round((side - h0) / 2 / side * input_size))
+        left = int(round((side - w0) / 2 / side * input_size))
+        hh = max(int(round(h0 / side * input_size)), 1)
+        ww = max(int(round(w0 / side * input_size)), 1)
+        depth_sq = full["depth_z"][0, :, :, :, 0]
+        depth = upsample_depth(
+            depth_sq[:, top: top + hh, left: left + ww], out_hw,
+            clamp=(1e-3, 1e3),
+        )[0]
         return {"depth": depth,
                 **{k: v[0] for k, v in full.items()
                    if k != "metric_scaling_factor"},
@@ -1687,6 +1708,7 @@ def cotracker3(window: int = 16, grid_size: int = 10,
         def __init__(self):
             self.spec = spec
             self.params = params
+            self.grid_size = grid_size
             self._engines = {}
             self._queries = None
             self._state = None  # (coords (1,W,N,2), vis (1,W,N), feat)
@@ -1733,6 +1755,15 @@ def cotracker3(window: int = 16, grid_size: int = 10,
                      grid_size: int = 0):
             """The upstream online API (later/CoTracker3/infer.py:24-28)."""
             if is_first_step:
+                if grid_size and grid_size != self.grid_size:
+                    # the query count is baked into the compiled engines;
+                    # honor the upstream arg by refusing silently-wrong output
+                    raise ValueError(
+                        f"[MDET] grid_size={grid_size} differs from the "
+                        f"pipeline's compiled grid_size={self.grid_size}; "
+                        "rebuild with build_pipeline('cotracker3', "
+                        f"grid_size={grid_size})"
+                    )
                 self._queries = jnp.asarray(_grid_queries(*in_hw))
                 self._state = None
                 return None
@@ -1748,15 +1779,16 @@ def cotracker3(window: int = 16, grid_size: int = 10,
                 out = self._engine(True)(self.params, fr, self._queries)
             else:
                 coords, vis, feat = self._state
-                # seed: overlap frames reuse the previous window's estimates;
-                # new frames start from the last known position
+                # seed: the (window - step) overlap frames reuse the previous
+                # window's estimates; the `step` new frames start from the
+                # last known position (total stays exactly `window`)
                 init_c = jnp.concatenate(
                     [coords[:, step:],
-                     jnp.repeat(coords[:, -1:], window - step, axis=1)], axis=1
+                     jnp.repeat(coords[:, -1:], step, axis=1)], axis=1
                 )
                 init_v = jnp.concatenate(
                     [vis[:, step:],
-                     jnp.repeat(vis[:, -1:], window - step, axis=1)], axis=1
+                     jnp.repeat(vis[:, -1:], step, axis=1)], axis=1
                 )
                 out = self._engine(False)(
                     self.params, fr, self._queries, init_c, init_v, feat

@@ -816,9 +816,10 @@ def convert_waft(state_dict: Mapping, encoder: str = "vits",
             "gru": _sep_gru(sd, f"{ub}.gru"),
             "flow_head_conv1": conv2d(sd, f"{ub}.flow_head_conv1"),
             "flow_head_conv2": conv2d(sd, f"{ub}.flow_head_conv2"),
-            "mask_conv0": conv2d(sd, f"{ub}.mask_conv0"),
-            "mask_conv2": conv2d(sd, f"{ub}.mask_conv2"),
         }},
+        # the mask head is hoisted out of the scan (final-iteration-only)
+        "mask_conv0": conv2d(sd, f"{ub}.mask_conv0"),
+        "mask_conv2": conv2d(sd, f"{ub}.mask_conv2"),
     }
 
 

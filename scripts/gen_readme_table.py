@@ -53,6 +53,7 @@ META = {
     "dkt_vits": ("transparent depth", "`later/DKT`"),
     "bridge_vits": ("depth", "`later/BRIDGE`"),
     "flashdepth": ("streaming video depth", "`later/FlashDepth`"),
+    "sidepth_vits": ("scale-invariant depth", "`later/SIDepth`"),
 }
 
 FID_SHORT = {

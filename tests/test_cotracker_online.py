@@ -68,3 +68,38 @@ def test_visualize_tracks(tmp_path, pipe):
     import os
 
     assert os.path.getsize(out) > 500
+
+
+def test_odd_window_continuation():
+    """window=5 (odd): the continuation seed must still assemble exactly
+    `window` frames (regression: the repeat count was window-step, which
+    only equals step for even windows)."""
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        allow_random_weights,
+    )
+
+    with allow_random_weights():
+        p = build_pipeline(
+            "cotracker3", window=5, grid_size=2, input_hw=(32, 48),
+            precision="fp32", model_kw=TINY_MODEL,
+        )
+    video = _video(12, seed=3)
+    tracks, vis = p.track_video(video)
+    assert tracks.shape == (1, 12, 4, 2)
+    assert np.isfinite(tracks).all()
+
+
+def test_call_time_grid_size_mismatch_errors():
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        allow_random_weights,
+    )
+
+    with allow_random_weights():
+        p = build_pipeline(
+            "cotracker3", window=4, grid_size=2, input_hw=(32, 48),
+            precision="fp32", model_kw=TINY_MODEL,
+        )
+    with pytest.raises(ValueError, match="grid_size"):
+        p(None, is_first_step=True, grid_size=9)
