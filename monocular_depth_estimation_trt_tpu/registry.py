@@ -1499,7 +1499,8 @@ def prior_depth_anything(encoder: str = "vits", input_size: int = 518,
 @register("map_anything", fidelity="converter-verified")
 def map_anything(input_size: int = 518, precision: str = "bf16",
                  attn_impl: str = "auto", params: Any = None,
-                 checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+                 checkpoint: Optional[str] = None, vggt_cfg: Any = None,
+                 **kw) -> DepthPipeline:
     """MapAnything metric 3D mapping (reference ``later/Map_Anything/
     infer.py:30-68``): per view — pts3d (world) / pts3d_cam / depth_z /
     depth_along_ray / ray_directions / intrinsics / cam2world poses (quat +
@@ -1525,7 +1526,7 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
     )
     from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
-    cfg = VGGTConfig()
+    cfg = vggt_cfg or VGGTConfig()
     spec = ModelSpec(
         model="map_anything", input_hw=(input_size, input_size),
         precision=precision, metric=True,

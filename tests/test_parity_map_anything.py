@@ -77,3 +77,35 @@ def test_map_anything_parity(rng):
     assert (ray[..., 2] > 0).all()
     assert (np.asarray(out["depth_along_ray"]) > 0).all()
     assert (np.asarray(out["metric_scaling_factor"]) > 0).all()
+
+
+def test_map_anything_registry_nonsquare_geometry():
+    """Pipeline-level: for a non-square image the depth output must crop
+    the pad-to-square border before resampling (regression — it used to
+    stretch the padded square), and img_no_norm must be de-normalized
+    [0,1] RGB."""
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGTConfig
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        allow_random_weights,
+    )
+
+    cfg = VGGTConfig(
+        dim=64, depth=2, num_heads=4, head_layers=(0, 1, 0, 1),
+        encoder="vits",
+        vit_config=ViTConfig(dim=48, depth=2, num_heads=2,
+                             pretrain_img_size=70),
+        head_features=16, head_out_channels=(8, 16, 32, 32),
+    )
+    with allow_random_weights():
+        pipe = build_pipeline("map_anything", input_size=70,
+                              precision="fp32", attn_impl="xla",
+                              vggt_cfg=cfg)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (48, 96, 3), dtype=np.uint8)  # non-square
+    out = pipe(img)
+    assert out["depth"].shape == (48, 96)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    rgb = np.asarray(out["img_no_norm"])
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
