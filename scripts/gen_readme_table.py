@@ -93,6 +93,16 @@ def make_table(bench: dict) -> str:
             f"baselines: **{geo:.2f}×**. Staged (`later/`) families have no "
             "reference TRT numbers — the reference never wired them."
         )
+    errored = [r for r in bench["results"] if "error" in r]
+    if errored:
+        lines.append("")
+        for r in errored:
+            lines.append(
+                f"*`{r['model']}` is missing from this run: the development "
+                "TPU worker crashed on it (known intermittent axon kernel "
+                "fault, see CLAUDE.md) — re-run "
+                f"`python bench_all.py --isolate --models {r['model']}`.*"
+            )
     return "\n".join(lines)
 
 
