@@ -516,11 +516,13 @@ def _build_moge(
         dtype=compute_dtype(precision), attn_impl=attn_impl,
     )
 
-    def forward(p, img_u8, out_hw):
+    def model_forward(p, img_u8):
         x = to_float_rgb(img_u8)
         x = resize(x, spec.input_hw, method="linear")
         x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
-        out = model.apply({"params": p}, x)
+        return model.apply({"params": p}, x)
+
+    def postprocess(out, out_hw):
         points = out["points"]  # (1, h, w, 3) affine-invariant
         mask = out["mask"] > 0.5
         # reference MoGe_2/onnx2trt.py:169-206 on device: recover focal/shift,
@@ -552,6 +554,11 @@ def _build_moge(
             )[0]
         return result
 
+    def forward(p, img_u8, out_hw):
+        # single-program path (tests / CPU); TPU serving uses the split
+        # engines below
+        return postprocess(model_forward(p, img_u8), out_hw)
+
     example = jnp.zeros((1, *input_hw, 3), jnp.float32)
     if params is None:
         params = get_or_convert_params(
@@ -559,7 +566,50 @@ def _build_moge(
             converter=functools.partial(convert_moge2, encoder=encoder,
                                         predict_normal=predict_normal),
         )
-    return DepthPipeline(spec, forward, params, viz="none")
+
+    class _SplitEngine:
+        """Model and focal-shift postprocess as TWO compiled programs with a
+        device-resident intermediate. Fusing them into one program
+        deterministically kernel-faults the development TPU worker (each
+        half runs fine alone — ``scripts/moge_barrier_test.py`` shows an
+        optimization_barrier does not help, so the split is at the program
+        level; the extra dispatch is sub-ms and the intermediate never
+        leaves the device)."""
+
+        def __init__(self, e1, e2):
+            self.e1, self.e2 = e1, e2
+
+        def compile(self):
+            self.e1.compile()
+            self.e2.compile()
+            return self
+
+        def __call__(self, p, img):
+            return self.e2(self.e1(p, img))
+
+    class MoGePipeline(DepthPipeline):
+        def engine_for(self, in_hw, with_viz: bool = False):
+            import jax
+
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+            key = (tuple(in_hw), "split")
+            if key in self._engines:
+                return self._engines[key]
+            ex = jax.ShapeDtypeStruct((*in_hw, 3), jnp.uint8)
+            e1 = Engine(
+                model_forward, (self.params, ex),
+                name=f"{spec.artifact_name()}_model_in{in_hw[0]}x{in_hw[1]}",
+            )
+            mid = jax.eval_shape(model_forward, self.params, ex)
+            e2 = Engine(
+                functools.partial(postprocess, out_hw=tuple(in_hw)), (mid,),
+                name=f"{spec.artifact_name()}_post_{in_hw[0]}x{in_hw[1]}",
+            )
+            self._engines[key] = _SplitEngine(e1, e2)
+            return self._engines[key]
+
+    return MoGePipeline(spec, forward, params, viz="none")
 
 
 @register("moge2", fidelity="converter-verified")
