@@ -81,3 +81,47 @@ def test_raft_tiny_matches_golden():
     scale = max(np.max(np.abs(g["flow_up"])), 1e-3)
     assert np.max(np.abs(np.asarray(low) - g["flow_low"])) / scale < 1e-3
     assert np.max(np.abs(np.asarray(up) - g["flow_up"])) / scale < 1e-3
+
+
+def test_waft_tiny_matches_golden():
+    from monocular_depth_estimation_trt_tpu.models.flow.waft import WAFT
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    model = WAFT(iters=2,
+                 vit_config=ViTConfig(dim=64, depth=4, num_heads=2,
+                                      pretrain_img_size=70),
+                 dtype=jnp.float32, attn_impl="xla")
+    rng = np.random.default_rng(11)
+    i1 = jnp.asarray(rng.integers(0, 255, (1, 70, 84, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.integers(0, 255, (1, 70, 84, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(6), i1, i2)["params"]
+    low, up = model.apply({"params": params}, i1, i2)
+    g = np.load(os.path.join(GOLDEN_DIR, "waft_tiny_seed6.npz"))
+    scale = max(np.max(np.abs(g["flow_up"])), 1e-3)
+    assert np.max(np.abs(np.asarray(low) - g["flow_low"])) / scale < 1e-3
+    assert np.max(np.abs(np.asarray(up) - g["flow_up"])) / scale < 1e-3
+
+
+def test_vda_tiny_matches_golden():
+    from monocular_depth_estimation_trt_tpu.models.video_depth_anything import (
+        VideoDepthAnything,
+    )
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    model = VideoDepthAnything(
+        vit_config=ViTConfig(dim=64, depth=4, num_heads=2,
+                             pretrain_img_size=70),
+        head_features=16, head_out_channels=(8, 16, 32, 32),
+        out_indices=(0, 1, 2, 3), num_heads=2,
+        dtype=jnp.float32, attn_impl="xla",
+    )
+    rng = np.random.default_rng(11)
+    # advance the rng past the waft golden draws (shared generation script)
+    rng.integers(0, 255, (1, 70, 84, 3))
+    rng.integers(0, 255, (1, 70, 84, 3))
+    clip = jnp.asarray(rng.standard_normal((1, 3, 70, 70, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(8), clip)["params"]
+    d = model.apply({"params": params}, clip)
+    g = np.load(os.path.join(GOLDEN_DIR, "vda_tiny_seed8.npz"))["depth"]
+    scale = max(np.max(np.abs(g)), 1e-3)
+    assert np.max(np.abs(np.asarray(d) - g)) / scale < 1e-3
