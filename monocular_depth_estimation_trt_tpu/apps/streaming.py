@@ -392,6 +392,11 @@ def write_depth_video(
     log(f"video depth: {len(frames)} frames in {dt:.2f}s "
         f"({len(frames) / max(dt, 1e-9):.1f} FPS)")
 
+    if getattr(pipeline.spec, "metric", False):
+        # Metric checkpoints emit depth in meters; colorize inverse depth so
+        # near=bright / far=dark matches the upstream disparity-style
+        # visualization (Video-Depth-Anything run.py grayscale convention).
+        depth = 1.0 / np.maximum(depth, 1e-4)
     lo, hi = float(depth.min()), float(depth.max())
     norm = ((depth - lo) / max(hi - lo, 1e-6) * 255.0).astype(np.uint8)
     writer = cv2.VideoWriter(

@@ -127,9 +127,100 @@ def cmd_run(args) -> int:
                                      intrinsics=intrinsics)
         log(f"wrote {ply}")
 
+    if args.compare:
+        # one-flag regression check vs a stored depth npz — replaces the
+        # reference's eyeball max/min protocol (README "max : ... min : ...")
+        ref = np.load(args.compare)["depth"]
+        if ref.shape != depth.shape:
+            log(f"compare: shape mismatch ours {depth.shape} vs ref "
+                f"{ref.shape}", tag="ERROR")
+            return 1
+        err = float(np.max(np.abs(np.asarray(depth) - ref)))
+        rel = err / max(float(np.max(np.abs(ref))), 1e-6)
+        log(f"compare vs {args.compare}: max-abs-err {err:.6f} "
+            f"(rel {rel:.2e})")
+        if rel > args.compare_tol:
+            log(f"compare FAILED (tol {args.compare_tol:g})", tag="ERROR")
+            return 1
+
     if args.benchmark:
         report = pipe.benchmark((img.shape[0], img.shape[1]))
         report.print()
+    return 0
+
+
+def cmd_batch(args) -> int:
+    """Batched offline serving over an image directory or video — the
+    native-decode-ring + batched-engine path (``apps/offline.py``). The
+    reference's analogue is the frame-dir loop at batch=1
+    (``RAFT/onnx2trt.py:150-196``, ``Depth_Anything_V2/
+    onnx2trt_pointcloud_vis.py:68-93``); here decode threads keep a ring of
+    stable buffers ahead of a (B, H, W, 3) engine."""
+    import json
+
+    from monocular_depth_estimation_trt_tpu.apps.offline import (
+        process_images_batched,
+    )
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.utils.files import list_images
+
+    if bool(args.images_dir) == bool(args.video):
+        log("batch: give exactly one of --images-dir / --video", tag="ERROR")
+        return 2
+
+    if args.video:
+        from monocular_depth_estimation_trt_tpu.apps.streaming import (
+            extract_frames_from_video,
+        )
+
+        frames_dir = os.path.join(args.out, "_frames")
+        extract_frames_from_video(args.video, frames_dir,
+                                  max_frames=args.max_frames or None)
+        paths = list_images(frames_dir)
+    else:
+        paths = list_images(args.images_dir)
+        if args.max_frames:
+            paths = paths[: args.max_frames]
+    if not paths:
+        log("batch: no images found", tag="ERROR")
+        return 1
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    if args.checkpoint:
+        kw["checkpoint"] = args.checkpoint
+    pipe = build_pipeline(args.model, **kw)
+
+    os.makedirs(args.out, exist_ok=True)
+    name = pipe.spec.artifact_name()
+
+    on_result = None
+    if args.save:
+        import cv2
+
+        def on_result(start_idx, host):
+            depths = np.asarray(host["depth"])
+            for j in range(depths.shape[0]):
+                i = start_idx + j
+                if i >= len(paths):  # tail-batch padding
+                    break
+                stem = os.path.splitext(os.path.basename(paths[i]))[0]
+                np.savez_compressed(
+                    os.path.join(args.out, f"{stem}_{name}.npz"),
+                    depth=depths[j],
+                )
+                d = depths[j]
+                norm = ((d - d.min()) / max(float(d.max() - d.min()), 1e-6)
+                        * 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(args.out, f"{stem}_{name}.jpg"),
+                            cv2.applyColorMap(norm, cv2.COLORMAP_INFERNO))
+
+    stats = process_images_batched(
+        pipe, paths, batch=args.batch, on_result=on_result,
+        decode_threads=args.decode_threads,
+    )
+    print(json.dumps({"metric": f"{name}_batched_fps",
+                      "value": stats["fps"], "unit": "fps",
+                      "batch": stats["batch"], "frames": stats["frames"]}))
     return 0
 
 
@@ -322,6 +413,43 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Convert (and audit) a torch checkpoint without running the model.
+
+    ``--report`` prints the consumed/unconsumed key audit and skips caching —
+    the dry-run for checking an upstream checkpoint's layout against our
+    converter before trusting it (reference checkpoints: hub files per
+    ``Depth_Anything_V2/README.md:22-36``)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # conversion is host-side work
+
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        UnconsumedKeysError,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        resolve_checkpoint,
+    )
+
+    if args.report:
+        # audit only: run the conversion under tracking, print the report,
+        # write nothing
+        os.environ["MDET_CONVERT_REPORT_ONLY"] = "1"
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    try:
+        path = resolve_checkpoint(args.checkpoint)
+        log(f"checkpoint resolves to {path}")
+        build_pipeline(args.model, checkpoint=args.checkpoint, **kw)
+    except UnconsumedKeysError as e:
+        log(str(e), tag="ERROR")
+        return 1
+    finally:
+        os.environ.pop("MDET_CONVERT_REPORT_ONLY", None)
+    log("conversion OK")
+    return 0
+
+
 def cmd_models(_args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import list_models
 
@@ -373,7 +501,29 @@ def build_parser() -> argparse.ArgumentParser:
                      help="also save the colorbar-in-meters figure "
                      "(reference onnx2trt.py:249-262)")
     run.add_argument("--benchmark", action="store_true")
+    run.add_argument("--compare", default="",
+                     help="compare the depth against a stored .npz and fail "
+                     "on drift (regression form of the reference's max/min "
+                     "eyeball protocol)")
+    run.add_argument("--compare-tol", type=float, default=1e-2,
+                     help="max relative error allowed with --compare")
     run.set_defaults(fn=cmd_run)
+
+    batch = sub.add_parser(
+        "batch", help="batched offline serving over an image dir or video")
+    batch.add_argument("model")
+    batch.add_argument("--encoder", default="")
+    batch.add_argument("--images-dir", default="")
+    batch.add_argument("--video", default="")
+    batch.add_argument("--batch", type=int, default=8)
+    batch.add_argument("--out", default="results")
+    batch.add_argument("--max-frames", type=int, default=0)
+    batch.add_argument("--checkpoint", default="")
+    batch.add_argument("--save", action="store_true",
+                       help="write per-image npz+jpg (default: throughput "
+                       "benchmark mode, outputs discarded)")
+    batch.add_argument("--decode-threads", type=int, default=4)
+    batch.set_defaults(fn=cmd_batch)
 
     bench = sub.add_parser("bench", help="benchmark a model config")
     bench.add_argument("model")
@@ -434,9 +584,20 @@ def build_parser() -> argparse.ArgumentParser:
     build.add_argument("--viz", action="store_true")
     build.set_defaults(fn=cmd_build)
 
+    convert = sub.add_parser(
+        "convert",
+        help="convert/audit a torch checkpoint (supports hf:org/repo/file)")
+    convert.add_argument("model")
+    convert.add_argument("--checkpoint", required=True)
+    convert.add_argument("--encoder", default="")
+    convert.add_argument("--report", action="store_true",
+                         help="print the consumed/unconsumed key audit and "
+                         "write nothing")
+    convert.set_defaults(fn=cmd_convert)
+
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam, track, pair):
+    for sp in (run, flow, video, webcam, track, pair, batch):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

@@ -952,9 +952,10 @@ def stream3r(input_size: int = 518, precision: str = "bf16",
     ``later/STream3R/``): a causal VGGT-family transformer streaming images
     into per-frame pointmaps. Served as the causal aggregator + the upstream
     point head (inv_log pts3d + expp1 conf) alongside depth and camera;
-    single images run through the standard pipeline, ``pipe.stream(window)``
-    returns the KV-cache causal session (per-step cost independent of the
-    stream length — the serving mode STream3R is built for)."""
+    single images run through the standard pipeline,
+    ``pipe.stream_session(window)`` returns the KV-cache causal session
+    (per-step cost independent of the stream length — the serving mode
+    STream3R is built for)."""
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
@@ -1293,9 +1294,10 @@ def video_depth_anything(encoder: str = "vits", input_size: int = 518,
 
         def benchmark(self, in_hw=None, config=None, **_):
             """Window-program throughput in FRAMES/sec: each dispatch is a
-            full ``window``-frame program (the model's serving unit), so
-            ``iterations`` is scaled by the window length; the reported
-            latency percentiles are per-WINDOW (sync pass)."""
+            full ``window``-frame program (the model's serving unit), so the
+            report carries ``frames_per_iteration=window``; ``iterations``
+            still counts real dispatches and the latency percentiles are
+            per-WINDOW (sync pass)."""
             from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
                 benchmark as _bench,
             )
@@ -1309,7 +1311,7 @@ def video_depth_anything(encoder: str = "vits", input_size: int = 518,
             )
             rep = _bench(lambda f: eng(self.params, f), (fr,), config=config,
                          name=spec.artifact_name())
-            rep.iterations *= window  # per-frame accounting
+            rep.frames_per_iteration = window  # per-frame FPS accounting
             return rep
 
     return VDAPipeline(
@@ -1932,8 +1934,11 @@ def raft(
 
     example = jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32)
     if params is None:
+        # layout_version=2: SepConvGRU z/r kernels are fused (_sep_gru) —
+        # pre-fusion cached artifacts must not be structurally loaded.
         params = get_or_convert_params(
-            spec.artifact_name(), model, (example, example), seed=0
+            spec.artifact_name(), model, (example, example), seed=0,
+            layout_version=2,
         )
     return FlowPipeline(spec, forward, params)
 
@@ -2007,6 +2012,7 @@ def neuflow(input_hw: tuple = (288, 512), precision: str = "bf16",
         params = get_or_convert_params(
             spec.artifact_name(), model, (example, example),
             torch_ckpt=checkpoint, converter=convert_neuflow,
+            layout_version=2,  # fused SepConvGRU z/r layout (_sep_gru)
         )
     return FlowPipeline(spec, forward, params)
 
@@ -2047,6 +2053,7 @@ def meflow(iters: int = 20, input_hw: tuple = (288, 512),
         params = get_or_convert_params(
             spec.artifact_name(), model, (example, example),
             torch_ckpt=checkpoint, converter=convert_meflow,
+            layout_version=2,  # fused SepConvGRU z/r layout (_sep_gru)
         )
     return FlowPipeline(spec, forward, params)
 
@@ -2088,6 +2095,7 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
         params = get_or_convert_params(
             spec.artifact_name(), model, example, torch_ckpt=checkpoint,
             converter=convert_memfof,
+            layout_version=2,  # fused SepConvGRU z/r layout (_sep_gru)
         )
 
     class TripletFlowPipeline:

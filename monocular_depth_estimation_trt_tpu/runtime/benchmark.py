@@ -30,6 +30,11 @@ class BenchmarkReport:
     h2d_ms: Optional[float] = None
     d2h_ms: Optional[float] = None
     mode: str = "sync"
+    # Frames produced per dispatched iteration (>1 for windowed video models
+    # whose serving unit is a multi-frame program). ``iterations`` always
+    # counts actual dispatches; ``fps`` is per-FRAME; latency percentiles
+    # remain per-dispatch (one window = one latency).
+    frames_per_iteration: int = 1
     # Real per-iteration sync-mode latencies from a separate measured pass
     # (pipelined throughput mode has no honest per-iter timestamps — the N
     # dispatches share one terminal sync, so percentiles are only reported
@@ -42,7 +47,9 @@ class BenchmarkReport:
 
     @property
     def fps(self) -> float:
-        return 1.0 / self.avg_seconds if self.avg_seconds > 0 else float("inf")
+        if self.avg_seconds <= 0:
+            return float("inf")
+        return self.frames_per_iteration / self.avg_seconds
 
     @property
     def avg_ms(self) -> float:
@@ -62,7 +69,13 @@ class BenchmarkReport:
     def print(self) -> None:
         """Reference-format report (``onnx2trt.py:214-217``)."""
         log(f"{self.iterations} iterations time: {self.total_seconds:.4f} [sec]")
-        log(f"Average FPS: {self.fps:.2f} [fps]")
+        if self.frames_per_iteration > 1:
+            log(
+                f"Average FPS: {self.fps:.2f} [fps] "
+                f"({self.frames_per_iteration} frames/iteration)"
+            )
+        else:
+            log(f"Average FPS: {self.fps:.2f} [fps]")
         log(f"Average inference time: {self.avg_ms:.2f} [msec]")
         p50 = self.percentile_ms(50)
         if self.mode == "pipelined" and p50 is not None:
@@ -79,6 +92,7 @@ class BenchmarkReport:
             "total_seconds": self.total_seconds,
             "fps": self.fps,
             "avg_ms": self.avg_ms,
+            "frames_per_iteration": self.frames_per_iteration,
             "mode": self.mode,
             "p50_ms": self.percentile_ms(50),
             "p99_ms": self.percentile_ms(99),

@@ -16,6 +16,17 @@ def GiB(val: float) -> int:
     return int(val * (1 << 30))
 
 
+def list_images(directory: str) -> List[str]:
+    """Sorted image paths in a directory (the reference's frame-dir listing
+    idiom, ``RAFT/onnx2trt.py:150-155``)."""
+    exts = {".png", ".jpg", ".jpeg", ".bmp"}
+    return sorted(
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if os.path.splitext(f)[1].lower() in exts
+    )
+
+
 def locate_files(
     data_paths: Sequence[str], filenames: Sequence[str], err_msg: str = ""
 ) -> List[str]:

@@ -18,9 +18,109 @@ Layout rules (torch -> flax):
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Dict, Mapping, Optional, Set, Tuple
 
 import numpy as np
+
+
+class TrackedStateDict(Mapping):
+    """Mapping wrapper that records which keys a converter actually READS.
+
+    The de-risking layer for real upstream checkpoints: a layout mismatch
+    (renamed block, extra head, different depth) shows up as tensors the
+    converter never consumed — which, unaudited, would silently become
+    random-init params on the Flax side. ``in`` checks do not count as
+    consumption; only ``__getitem__`` does.
+    """
+
+    def __init__(self, sd: Mapping):
+        self._sd = sd
+        self.accessed: Set[str] = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return self._sd[k]
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+    def __contains__(self, k):
+        return k in self._sd
+
+
+class _StripPrefixView(Mapping):
+    """Lazy 'module.'-strip view that keeps reads flowing through the
+    underlying (possibly tracked) mapping — a dict comprehension would read
+    every value and defeat the audit."""
+
+    def __init__(self, sd: Mapping, prefix: str):
+        self._sd = sd
+        self._map = {
+            (k[len(prefix):] if k.startswith(prefix) else k): k for k in sd
+        }
+
+    def __getitem__(self, k):
+        return self._sd[self._map[k]]
+
+    def __iter__(self):
+        return iter(self._map)
+
+    def __len__(self):
+        return len(self._map)
+
+    def __contains__(self, k):
+        return k in self._map
+
+
+# Bookkeeping tensors no inference converter should be expected to consume.
+_AUDIT_IGNORE = re.compile(r"(num_batches_tracked$|^n_averaged$)")
+
+
+class UnconsumedKeysError(ValueError):
+    """Converter left real tensors unconsumed — likely a layout mismatch."""
+
+
+def convert_with_audit(
+    converter: Callable[[Mapping], Dict],
+    state_dict: Mapping,
+    *,
+    strict: bool = True,
+    name: str = "",
+) -> Tuple[Dict, Dict[str, Any]]:
+    """Run ``converter`` under key-consumption tracking.
+
+    Returns ``(params, report)`` where report lists total/consumed/unconsumed
+    keys. With ``strict=True`` (the production default), unexpectedly-unused
+    tensors raise :class:`UnconsumedKeysError` instead of silently falling
+    through to random init of the unmapped Flax params.
+    """
+    tsd = TrackedStateDict(state_dict)
+    params = converter(tsd)
+    unconsumed = sorted(
+        k for k in state_dict
+        if k not in tsd.accessed and not _AUDIT_IGNORE.search(k)
+    )
+    report = {
+        "name": name,
+        "total": len(state_dict),
+        "consumed": len(tsd.accessed),
+        "unconsumed": unconsumed,
+    }
+    if strict and unconsumed:
+        head = ", ".join(unconsumed[:12])
+        more = f" (+{len(unconsumed) - 12} more)" if len(unconsumed) > 12 else ""
+        raise UnconsumedKeysError(
+            f"converter for {name or 'model'} left {len(unconsumed)}/"
+            f"{len(state_dict)} checkpoint tensors unconsumed: {head}{more}. "
+            "This usually means an upstream layout mismatch; the unmapped "
+            "Flax params would otherwise be silently random. Inspect with "
+            "`mdet convert <model> --checkpoint <path> --report`, or pass "
+            "strict=False / MDET_LOOSE_CONVERT=1 to proceed anyway."
+        )
+    return params, report
 
 
 def _t(x) -> np.ndarray:
@@ -674,8 +774,7 @@ def _convert_raft_encoder(sd: Mapping, prefix: str, norm: str) -> Dict:
 def convert_raft(state_dict: Mapping) -> Dict:
     """RAFT checkpoint (raft-things.pth etc., possibly 'module.'-prefixed from
     DataParallel — reference ``RAFT/infer.py:62-65``) -> our ``RAFT`` params."""
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in state_dict.items()}
+    sd = _StripPrefixView(state_dict, "module.")
     ub = "update_block"
     step = {
         "block": {

@@ -55,14 +55,68 @@ class MissingCheckpointError(FileNotFoundError):
     """No converted params cached and no torch checkpoint to convert."""
 
 
-def _params_dir(name: str) -> str:
-    return os.path.join(cache_dir(), "params", name)
+def resolve_checkpoint(path_or_uri: str) -> str:
+    """Resolve a checkpoint reference to a local file path.
+
+    Accepts plain paths and ``hf:org/repo/file`` URIs — the reference's
+    weights come from the HF hub (``Depth_Anything_V2/README.md:22-36``);
+    this is the model-id -> file resolution layer for them. Resolution order
+    for ``hf:`` URIs:
+
+    1. ``$MDET_HF_CACHE/<org>/<repo>/<file>`` (or ``cache_dir()/hf/...``) —
+       a manually-populated local mirror, works fully offline;
+    2. the huggingface_hub local cache (``try_to_load_from_cache``);
+    3. a live ``hf_hub_download`` (network; graceful error when offline).
+    """
+    if not path_or_uri.startswith("hf:"):
+        return path_or_uri
+    ref = path_or_uri[3:].lstrip("/")
+    parts = ref.split("/")
+    if len(parts) < 3:
+        raise MissingCheckpointError(
+            f"malformed hf URI {path_or_uri!r}; expected hf:org/repo/file"
+        )
+    repo_id, filename = "/".join(parts[:2]), "/".join(parts[2:])
+
+    mirror = os.environ.get("MDET_HF_CACHE") or os.path.join(cache_dir(), "hf")
+    local = os.path.join(mirror, repo_id, filename)
+    if os.path.exists(local):
+        return local
+
+    try:
+        from huggingface_hub import try_to_load_from_cache
+
+        cached = try_to_load_from_cache(repo_id, filename)
+        if isinstance(cached, str) and os.path.exists(cached):
+            return cached
+    except Exception:
+        pass
+
+    try:
+        from huggingface_hub import hf_hub_download
+
+        return hf_hub_download(repo_id, filename)
+    except Exception as e:
+        raise MissingCheckpointError(
+            f"cannot resolve {path_or_uri!r}: not in the local mirror "
+            f"({local}), not in the HF cache, and download failed ({e!r}). "
+            f"Offline? Place the file at {local} and retry."
+        ) from e
 
 
-def save_params(name: str, params: Any) -> str:
+def _params_dir(name: str, layout_version: int = 1) -> str:
+    # The converted-param *layout* can evolve independently of the model
+    # (e.g. the SepConvGRU z/r kernel fusion, convert.py::_sep_gru). Versions
+    # >1 get a distinct cache directory so stale pre-fusion artifacts can
+    # never structurally collide with the new layout.
+    suffix = "" if layout_version == 1 else f"@pv{layout_version}"
+    return os.path.join(cache_dir(), "params", name + suffix)
+
+
+def save_params(name: str, params: Any, *, layout_version: int = 1) -> str:
     import orbax.checkpoint as ocp
 
-    path = _params_dir(name)
+    path = _params_dir(name, layout_version)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), params, force=True)
     ckptr.wait_until_finished()
@@ -70,10 +124,12 @@ def save_params(name: str, params: Any) -> str:
     return path
 
 
-def load_params(name: str, like: Optional[Any] = None) -> Optional[Any]:
+def load_params(
+    name: str, like: Optional[Any] = None, *, layout_version: int = 1
+) -> Optional[Any]:
     import orbax.checkpoint as ocp
 
-    path = _params_dir(name)
+    path = _params_dir(name, layout_version)
     if not os.path.isdir(path):
         return None
     ckptr = ocp.StandardCheckpointer()
@@ -109,6 +165,7 @@ def get_or_convert_params(
     converter: Optional[Callable] = None,
     seed: int = 0,
     allow_random: Optional[bool] = None,
+    layout_version: int = 1,
 ) -> Any:
     """Resolve parameters with the cache-then-convert-then-random policy.
 
@@ -127,23 +184,40 @@ def get_or_convert_params(
 
     cached = None
     try:
-        cached = load_params(name, like)
+        cached = load_params(name, like, layout_version=layout_version)
     except Exception as e:
         log(f"param cache read failed ({e!r}); falling through", tag="WARN")
     if cached is not None:
         log(f"Load params from cache ({name})")
         return cached
 
+    if torch_ckpt:
+        torch_ckpt = resolve_checkpoint(torch_ckpt)
     if torch_ckpt and os.path.exists(torch_ckpt) and converter is not None:
         from monocular_depth_estimation_trt_tpu.weights.convert import (
+            convert_with_audit,
             load_torch_state_dict,
         )
 
         log(f"Convert torch checkpoint {torch_ckpt}")
         sd = load_torch_state_dict(torch_ckpt)
-        params = converter(sd)
+        report_only = os.environ.get("MDET_CONVERT_REPORT_ONLY", "") == "1"
+        strict = (os.environ.get("MDET_LOOSE_CONVERT", "") != "1"
+                  and not report_only)
+        params, report = convert_with_audit(
+            converter, sd, strict=strict, name=name
+        )
+        log(
+            f"conversion audit: consumed {report['consumed']}/"
+            f"{report['total']} checkpoint tensors"
+        )
+        if report["unconsumed"]:
+            for k in report["unconsumed"]:
+                log(f"  UNCONSUMED {k}", tag="WARN")
+        if report_only:
+            return params  # audit dry-run: never cache
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        save_params(name, params)
+        save_params(name, params, layout_version=layout_version)
         return params
 
     if torch_ckpt and not os.path.exists(torch_ckpt):
