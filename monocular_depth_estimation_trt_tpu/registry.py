@@ -193,12 +193,15 @@ def dkt(encoder: str = "vits", metric: bool = True, dataset: str = "hypersim",
                             **kw)
 
 
-@register("bridge", fidelity="architecture-matched")
+@register("bridge", fidelity="converter-verified")
 def bridge(encoder: str = "vits", **kw) -> DepthPipeline:
     """BRIDGE (RL depth-to-image data engine) — DA-V2-style DPT serving graph
     at 518^2 (``later/BRIDGE/infer.py:52-54,76-77``, ``tt.py:10``: vits/vitb/
     vitg encoders, ``clamp(1e-3, 1e3)`` postprocess — the family default
-    here). Trained differently, served identically."""
+    here). Trained differently, served identically: the graph + converter
+    are gated by ``test_parity_da_v2.py`` and the serving contract
+    (align_corners upsample + clamp) by
+    ``tests/test_fidelity_promotions.py``."""
     return _build_da_family("bridge", encoder, **kw)
 
 
@@ -652,6 +655,7 @@ def _build_vggt(
     vggt_cfg: Any = None,
     with_camera: bool = True,
     checkpoint: Optional[str] = None,
+    allowed_unconsumed: Optional[str] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
@@ -717,6 +721,7 @@ def _build_vggt(
                 convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
                 with_camera=with_camera,
             ),
+            allowed_unconsumed=allowed_unconsumed,
         )
     return DepthPipeline(spec, forward, params, viz="metric")
 
@@ -1319,7 +1324,7 @@ def video_depth_anything(encoder: str = "vits", input_size: int = 518,
     )
 
 
-@register("litevggt", fidelity="architecture-matched")
+@register("litevggt", fidelity="converter-verified")
 def litevggt(input_size: int = 518, precision: str = "bf16",
              attn_impl: str = "auto", params: Any = None,
              checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
@@ -1327,9 +1332,14 @@ def litevggt(input_size: int = 518, precision: str = "bf16",
     (``later/LiteVGGT/infer.py:26-31``: stock ``VGGT()`` + ``te_dict.pt``
     loaded ``strict=False``, bf16, camera + depth heads). The upstream
     speedup (geometry-aware cached token merging) is a serving optimization
-    on the same weights; ``convert_vggt`` applies unchanged."""
+    on the same weights; ``convert_vggt`` applies unchanged and is gated by
+    ``test_parity_vggt.py`` + the key-exhaustiveness audit. The upstream
+    ``strict=False`` load is declared here as ``allowed_unconsumed`` over the
+    token-merge extras so real ``te_dict.pt`` files convert loudly-but-
+    successfully (``tests/test_fidelity_promotions.py``)."""
     return _build_vggt("litevggt", input_size, precision, attn_impl, params,
-                       with_camera=True, checkpoint=checkpoint)
+                       with_camera=True, checkpoint=checkpoint,
+                       allowed_unconsumed=r"(^|\.)(te|te_dict|token_merge|merge)[._]")
 
 
 @register("dinov3", fidelity="converter-verified")

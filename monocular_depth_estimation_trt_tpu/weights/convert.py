@@ -89,6 +89,7 @@ def convert_with_audit(
     *,
     strict: bool = True,
     name: str = "",
+    allowed_unconsumed: Optional[str] = None,
 ) -> Tuple[Dict, Dict[str, Any]]:
     """Run ``converter`` under key-consumption tracking.
 
@@ -96,18 +97,28 @@ def convert_with_audit(
     keys. With ``strict=True`` (the production default), unexpectedly-unused
     tensors raise :class:`UnconsumedKeysError` instead of silently falling
     through to random init of the unmapped Flax params.
+
+    ``allowed_unconsumed`` is a regex of keys a family EXPECTS to leave
+    behind — the declared equivalent of upstream's ``strict=False`` loads
+    (e.g. LiteVGGT's token-merge extras in ``te_dict.pt``,
+    ``later/LiteVGGT/infer.py:28-31``). Matching keys are reported under
+    ``ignored_extra`` and never fail the audit.
     """
+    allowed = re.compile(allowed_unconsumed) if allowed_unconsumed else None
     tsd = TrackedStateDict(state_dict)
     params = converter(tsd)
-    unconsumed = sorted(
+    leftovers = sorted(
         k for k in state_dict
         if k not in tsd.accessed and not _AUDIT_IGNORE.search(k)
     )
+    ignored_extra = [k for k in leftovers if allowed and allowed.search(k)]
+    unconsumed = [k for k in leftovers if k not in set(ignored_extra)]
     report = {
         "name": name,
         "total": len(state_dict),
         "consumed": len(tsd.accessed),
         "unconsumed": unconsumed,
+        "ignored_extra": ignored_extra,
     }
     if strict and unconsumed:
         head = ", ".join(unconsumed[:12])

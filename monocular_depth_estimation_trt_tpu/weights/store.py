@@ -166,6 +166,7 @@ def get_or_convert_params(
     seed: int = 0,
     allow_random: Optional[bool] = None,
     layout_version: int = 1,
+    allowed_unconsumed: Optional[str] = None,
 ) -> Any:
     """Resolve parameters with the cache-then-convert-then-random policy.
 
@@ -205,11 +206,14 @@ def get_or_convert_params(
         strict = (os.environ.get("MDET_LOOSE_CONVERT", "") != "1"
                   and not report_only)
         params, report = convert_with_audit(
-            converter, sd, strict=strict, name=name
+            converter, sd, strict=strict, name=name,
+            allowed_unconsumed=allowed_unconsumed,
         )
         log(
             f"conversion audit: consumed {report['consumed']}/"
             f"{report['total']} checkpoint tensors"
+            + (f"; ignored {len(report['ignored_extra'])} declared extras"
+               if report.get("ignored_extra") else "")
         )
         if report["unconsumed"]:
             for k in report["unconsumed"]:

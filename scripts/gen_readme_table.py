@@ -12,9 +12,14 @@ Usage: python scripts/gen_readme_table.py [BENCH_ALL.json] [README.md]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
+
+# allow running as `python scripts/gen_readme_table.py` from anywhere
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
 
 # model tag -> (task, reference dir) for the table's context columns
 META = {
@@ -66,6 +71,23 @@ START = "<!-- BENCH_TABLE_START -->"
 END = "<!-- BENCH_TABLE_END -->"
 
 
+def live_fidelity(tag: str):
+    """Current registry fidelity for a bench-row tag (e.g. ``bridge_vits`` ->
+    registry entry ``bridge``). The registry is the source of truth — a tag
+    promoted after the last bench run must not stay stale in the README."""
+    try:
+        from monocular_depth_estimation_trt_tpu.registry import (
+            get_fidelity,
+            list_models,
+        )
+    except Exception:
+        return None
+    for name in sorted(list_models(), key=len, reverse=True):
+        if tag == name or tag.startswith(name + "_"):
+            return get_fidelity(name)
+    return None
+
+
 def make_table(bench: dict) -> str:
     rows = [r for r in bench["results"] if r.get("fps")]
     lines = [
@@ -78,11 +100,12 @@ def make_table(bench: dict) -> str:
         task, ref = META.get(tag, ("", "—"))
         base = r.get("baseline_trt_fps")
         sp = r.get("speedup_vs_trt")
+        fid = live_fidelity(tag) or r.get("fidelity", "")
         lines.append(
             f"| `{tag}` | {task} | {ref} | {r['fps']:.1f} | "
             f"{base if base else '—'} | "
             f"{f'{sp:.1f}×' if sp else '—'} | "
-            f"{FID_SHORT.get(r.get('fidelity', ''), r.get('fidelity', ''))} |"
+            f"{FID_SHORT.get(fid, fid)} |"
         )
     ok = [r["speedup_vs_trt"] for r in rows if r.get("speedup_vs_trt")]
     if ok:
