@@ -52,6 +52,23 @@ SUITE = [
     ("memfof", {}, (288, 512), 14.11),
 ]
 
+# Batched offline-serving rows (apps/offline.py path; reference has no
+# batch>1 serving at all — its engines pin batch=1, SURVEY.md §2.1).
+# (model, build kwargs, input hw, batch)
+BATCHED_SUITE = [
+    ("depth_anything_v2", {"encoder": "vits"}, (518, 518), 8),
+    ("depth_anything_ac", {"encoder": "vits"}, (518, 518), 8),
+]
+
+# VGGT multi-view rows: the S axis the reference could not export
+# (VGGT/onnx_export.py:63 pins S=1). Per-frame FPS of the S-view program.
+# (model, build kwargs, S)
+VIEWS_SUITE = [
+    ("vggt", {"depth_only": True}, 2),
+    ("vggt", {"depth_only": True}, 4),
+    ("vggt", {"depth_only": True}, 8),
+]
+
 
 def _run_isolated(tag: str, quick: bool, retries: int = 2) -> dict:
     """Benchmark one model in a fresh subprocess.
@@ -96,8 +113,19 @@ def main() -> None:
     if args.isolate:
         subset = {s for s in args.models.split(",") if s}
         results = []
-        for name, kw, in_hw, baseline in SUITE:
-            tag = name + ("_" + kw.get("encoder", "") if kw.get("encoder") else "")
+        tags = [
+            name + ("_" + kw.get("encoder", "") if kw.get("encoder") else "")
+            for name, kw, _, _ in SUITE
+        ] + [
+            name + ("_" + kw.get("encoder", "") if kw.get("encoder") else "")
+            + f"_b{b}"
+            for name, kw, _, b in BATCHED_SUITE
+        ] + [
+            f"{name}_s{s}" for name, _, s in VIEWS_SUITE
+        ]
+        names = ([s[0] for s in SUITE] + [s[0] for s in BATCHED_SUITE]
+                 + [s[0] for s in VIEWS_SUITE])
+        for name, tag in zip(names, tags):
             if subset and name not in subset and tag not in subset:
                 continue
             row = _run_isolated(tag, args.quick)
@@ -149,6 +177,70 @@ def main() -> None:
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
             }
         except Exception as e:  # keep the suite running
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    import jax
+
+    from monocular_depth_estimation_trt_tpu.runtime.benchmark import benchmark
+
+    for name, kw, in_hw, batch in BATCHED_SUITE:
+        tag = (name + ("_" + kw.get("encoder", "") if kw.get("encoder")
+                       else "") + f"_b{batch}")
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            eng = pipe.batch_engine_for(in_hw, batch)
+            eng.compile()
+            rng = np.random.default_rng(0)
+            frames = jax.device_put(
+                rng.integers(0, 255, (batch, *in_hw, 3), dtype=np.uint8)
+            )
+            rep = benchmark(lambda f: eng(pipe.params, f), (frames,),
+                            config=cfg, name=tag)
+            rep.frames_per_iteration = batch
+            p50 = rep.percentile_ms(50)
+            row = {
+                "model": tag,
+                "input_hw": list(in_hw),
+                "batch": batch,
+                "fps": round(rep.fps, 2),
+                "avg_ms": round(rep.avg_ms, 2),
+                "latency_p50_ms": round(p50, 2) if p50 is not None else None,
+                "fidelity": get_fidelity(name),
+                "baseline_trt_fps": None,
+                "speedup_vs_trt": None,
+                "build_s": round(time.time() - t0 - rep.total_seconds, 1),
+            }
+        except Exception as e:
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    for name, kw, s in VIEWS_SUITE:
+        tag = f"{name}_s{s}"
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            rep = pipe.benchmark_views(s, cfg)
+            p50 = rep.percentile_ms(50)
+            row = {
+                "model": tag,
+                "views": s,
+                "fps": round(rep.fps, 2),
+                "avg_ms": round(rep.avg_ms, 2),
+                "latency_p50_ms": round(p50, 2) if p50 is not None else None,
+                "fidelity": get_fidelity(name),
+                "baseline_trt_fps": None,
+                "speedup_vs_trt": None,
+                "build_s": round(time.time() - t0 - rep.total_seconds, 1),
+            }
+        except Exception as e:
             row = {"model": tag, "error": repr(e)[:200]}
         results.append(row)
         print(json.dumps(row))

@@ -34,6 +34,65 @@ def _load_image(path: str) -> np.ndarray:
     return cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
 
 
+def _fov_from_outputs(out, depth_hw):
+    """(fov_x_deg, fov_y_deg) from whichever camera estimate the model
+    emits, or None. Conventions: MoGe ``focal`` is in normalized view-plane
+    units (``ops/camera.py::normalized_view_plane_uv``); Depth Pro ``f_px``
+    and UniDepth ``intrinsics`` are in pixels of the ORIGINAL image."""
+    import math
+
+    h, w = int(depth_hw[0]), int(depth_hw[1])
+    if "focal" in out:  # MoGe normalized focal
+        f = float(np.asarray(out["focal"]))
+        if f <= 0:
+            return None
+        diag = math.hypot(h, w)
+        return (math.degrees(2 * math.atan((w / diag) / f)),
+                math.degrees(2 * math.atan((h / diag) / f)))
+    if "f_px" in out:
+        f = float(np.asarray(out["f_px"]))
+        if f <= 0:
+            return None
+        return (math.degrees(2 * math.atan(0.5 * w / f)),
+                math.degrees(2 * math.atan(0.5 * h / f)))
+    if "intrinsics" in out:
+        K = np.asarray(out["intrinsics"])
+        if K.shape != (3, 3) or K[0, 0] <= 0 or K[1, 1] <= 0:
+            return None
+        return (math.degrees(2 * math.atan(0.5 * w / K[0, 0])),
+                math.degrees(2 * math.atan(0.5 * h / K[1, 1])))
+    return None
+
+
+def _apply_device_mesh(pipe, mesh_str: str):
+    """Shard a pipeline over ``--device-mesh DxM`` (data x model axes).
+
+    ``1x1`` (or an absent flag) is the single-chip case and a no-op; on a
+    1-device mesh every sharding spec collapses to replication so the same
+    program runs unchanged (see parallel/sharding.py)."""
+    if not mesh_str:
+        return pipe
+    import jax
+
+    from monocular_depth_estimation_trt_tpu.parallel.mesh import get_mesh
+
+    try:
+        shape = tuple(int(s) for s in mesh_str.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"[MDET] bad --device-mesh {mesh_str!r}; want DxM")
+    need = 1
+    for s in shape:
+        need *= s
+    devices = jax.devices()
+    if need > len(devices):
+        raise SystemExit(
+            f"[MDET] --device-mesh {mesh_str} needs {need} devices; "
+            f"{len(devices)} available"
+        )
+    mesh = get_mesh(shape, ("data", "model"), devices=devices[:need])
+    return pipe.apply_mesh(mesh)
+
+
 def cmd_run(args) -> int:
     import cv2
 
@@ -53,6 +112,7 @@ def cmd_run(args) -> int:
     if args.checkpoint:
         kw["checkpoint"] = args.checkpoint
     pipe = build_pipeline(args.model, **kw)
+    pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
 
     out = pipe(img, viz=True)
 
@@ -89,6 +149,17 @@ def cmd_run(args) -> int:
     npz = os.path.join(args.out, f"{stem}_{name}.npz")
     np.savez_compressed(npz, depth=depth)
     log(f"wrote {npz}")
+
+    fov = _fov_from_outputs(out, depth.shape)
+    if fov is not None:
+        # dedicated fov artifact (reference MoGe_2/onnx2trt.py:211-213)
+        import json
+
+        fov_path = os.path.join(args.out, f"{stem}_{name}_fov.json")
+        with open(fov_path, "w") as f:
+            json.dump({"fov_x": round(fov[0], 2),
+                       "fov_y": round(fov[1], 2)}, f)
+        log(f"wrote {fov_path} (fov_x {fov[0]:.2f}°, fov_y {fov[1]:.2f}°)")
 
     if args.colorbar:
         from monocular_depth_estimation_trt_tpu.apps.pointcloud import (
@@ -230,10 +301,15 @@ def cmd_bench(args) -> int:
 
     kw = {"encoder": args.encoder} if args.encoder else {}
     pipe = build_pipeline(args.model, **kw)
-    report = pipe.benchmark(
-        (args.size, args.size),
-        BenchmarkConfig(warmup=args.warmup, iterations=args.iterations),
-    )
+    pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
+    cfg = BenchmarkConfig(warmup=args.warmup, iterations=args.iterations)
+    if getattr(args, "views", 0) and args.views > 1:
+        if not hasattr(pipe, "benchmark_views"):
+            log(f"{args.model} has no multi-view protocol", tag="ERROR")
+            return 2
+        report = pipe.benchmark_views(args.views, cfg)
+    else:
+        report = pipe.benchmark((args.size, args.size), cfg)
     report.print()
     return 0
 
@@ -413,6 +489,42 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_views(args) -> int:
+    """Multi-view 3D reconstruction: N images through ONE S-view VGGT
+    program -> per-view depth npz + merged world-space point cloud. The S
+    axis is this framework's extension over the reference's S=1 export
+    (``VGGT/onnx_export.py:63``)."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu.apps.vggt_3d import (
+        export_multi_view_points,
+    )
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    size = args.resize or 518
+    imgs = [cv2.resize(_load_image(p), (size, size)) for p in args.images]
+    pipe = build_pipeline(args.model)
+    pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
+    if not hasattr(pipe, "multi_view"):
+        log(f"{args.model} has no multi-view protocol", tag="ERROR")
+        return 2
+    out = pipe.multi_view(np.stack(imgs))
+
+    os.makedirs(args.out, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.images[0]))[0]
+    name = pipe.spec.artifact_name()
+    npz = os.path.join(args.out, f"{stem}_{name}_s{len(imgs)}.npz")
+    np.savez_compressed(npz, depth=out["depth"],
+                        depth_conf=out["depth_conf"],
+                        pose_enc=out.get("pose_enc"))
+    log(f"wrote {npz}")
+    if "pose_enc" in out:
+        ply = os.path.join(args.out, f"{stem}_{name}_s{len(imgs)}.ply")
+        export_multi_view_points(out, imgs, ply,
+                                 input_size=pipe.spec.input_hw[0])
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Convert (and audit) a torch checkpoint without running the model.
 
@@ -531,7 +643,16 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--size", type=int, default=518)
     bench.add_argument("--warmup", type=int, default=10)
     bench.add_argument("--iterations", type=int, default=100)
+    bench.add_argument("--views", type=int, default=0,
+                       help="multi-view S axis (VGGT-family): benchmark the "
+                       "S-view joint program, per-frame FPS")
     bench.set_defaults(fn=cmd_bench)
+
+    for sp in (run, bench):
+        sp.add_argument("--device-mesh", default="", dest="device_mesh",
+                        help="shard params over a DxM (data x model) device "
+                        "mesh, e.g. 2x4; 1x1/absent = single chip "
+                        "(parallel/sharding.py tensor-parallel rules)")
 
     flow = sub.add_parser("flow", help="optical flow over frames/video")
     flow.add_argument("model",
@@ -559,6 +680,16 @@ def build_parser() -> argparse.ArgumentParser:
     track.add_argument("--out", default="results")
     track.add_argument("--max-frames", type=int, default=0)
     track.set_defaults(fn=cmd_track)
+
+    views = sub.add_parser(
+        "views", help="multi-view 3D reconstruction (S-view VGGT program)")
+    views.add_argument("model", nargs="?", default="vggt")
+    views.add_argument("--images", nargs="+", required=True)
+    views.add_argument("--out", default="results")
+    views.add_argument("--resize", type=int, default=0,
+                       help="square side for every view (default 518)")
+    views.add_argument("--device-mesh", default="", dest="device_mesh")
+    views.set_defaults(fn=cmd_views)
 
     pair = sub.add_parser("pair",
                           help="two-image 3D reconstruction (depth + "
@@ -597,7 +728,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam, track, pair, batch):
+    for sp in (run, flow, video, webcam, track, pair, batch, views):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

@@ -70,6 +70,33 @@ class DepthPipeline:
         self.viz = viz
         self._engines: Dict[Tuple, Engine] = {}
 
+    # -- multi-chip -------------------------------------------------------
+    def apply_mesh(self, mesh, rules=None) -> "DepthPipeline":
+        """Shard this pipeline's params over a device mesh (in place).
+
+        ``rules`` defaults to the ViT tensor-parallel table
+        (``parallel/sharding.py::vit_tp_rules``): column-parallel qkv/fc1,
+        row-parallel proj/fc2 over the ``model`` axis; everything else
+        replicated. On a 1-device mesh every spec collapses to replication —
+        the same program runs unsharded (single-chip parity). Engines built
+        afterwards inherit the shardings through jit's input-sharding
+        propagation; already-built engines are dropped.
+        """
+        if mesh is None:
+            return self
+        from monocular_depth_estimation_trt_tpu.parallel.sharding import (
+            vit_tp_rules,
+        )
+
+        rules = rules or vit_tp_rules()
+        self.params = rules.apply(mesh, self.params)
+        self._engines.clear()
+        self.mesh = mesh
+        log(
+            f"params sharded over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}"
+        )
+        return self
+
     # -- compilation ------------------------------------------------------
     def engine_for(self, in_hw: Tuple[int, int], with_viz: bool = False) -> Engine:
         key = (in_hw, with_viz)

@@ -657,6 +657,7 @@ def _build_vggt(
     checkpoint: Optional[str] = None,
     allowed_unconsumed: Optional[str] = None,
 ) -> DepthPipeline:
+    import jax
     import jax.numpy as jnp
 
     from monocular_depth_estimation_trt_tpu.config import compute_dtype
@@ -723,7 +724,72 @@ def _build_vggt(
             ),
             allowed_unconsumed=allowed_unconsumed,
         )
-    return DepthPipeline(spec, forward, params, viz="metric")
+
+    class VGGTPipeline(DepthPipeline):
+        """Adds the multi-view (S-axis) protocol the reference could not
+        export (``VGGT/onnx_export.py:63`` pins S=1): one jitted program over
+        (S, H, W, 3) views with cross-view global attention."""
+
+        def views_engine(self, s: int, src_hw=None):
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+            src = tuple(src_hw or (input_size, input_size))
+            key = ("views", s, src)
+            if key not in self._engines:
+                def run(p, views_u8):
+                    x = preprocess_pad_square(views_u8, input_size)
+                    out = model.apply({"params": p}, x[None])
+                    res = {"depth": out["depth"][0],
+                           "depth_conf": out["depth_conf"][0]}
+                    if with_camera:
+                        res["pose_enc"] = out["pose_enc"][0]
+                    return res
+
+                self._engines[key] = Engine(
+                    run,
+                    (self.params,
+                     jax.ShapeDtypeStruct((s, *src, 3), jnp.uint8)),
+                    name=f"{spec.artifact_name()}_views{s}_{src[0]}x{src[1]}",
+                )
+            return self._engines[key]
+
+        def multi_view(self, views_u8):
+            """views_u8: (S, H, W, 3) RGB uint8 -> dict of host outputs
+            (depth (S, 518, 518), conf, pose_enc (S, 9))."""
+            import numpy as _np
+
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                device_put_chunked,
+                tree_get_chunked,
+            )
+
+            views_u8 = _np.asarray(views_u8)
+            eng = self.views_engine(views_u8.shape[0], views_u8.shape[1:3])
+            return tree_get_chunked(
+                eng(self.params, device_put_chunked(views_u8))
+            )
+
+        def benchmark_views(self, s: int, config=None):
+            """Per-FRAME throughput of the S-view program (tokens scale with
+            S; global attention is quadratic in S·tokens)."""
+            import numpy as _np
+
+            from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+                benchmark as _bench,
+            )
+
+            eng = self.views_engine(s)
+            eng.compile()
+            rng = _np.random.default_rng(0)
+            views = jax.device_put(rng.integers(
+                0, 255, (s, input_size, input_size, 3), dtype=_np.uint8))
+            rep = _bench(lambda v: eng(self.params, v), (views,),
+                         config=config,
+                         name=f"{spec.artifact_name()}_s{s}")
+            rep.frames_per_iteration = s
+            return rep
+
+    return VGGTPipeline(spec, forward, params, viz="metric")
 
 
 @register("vggt", fidelity="converter-verified")

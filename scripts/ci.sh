@@ -1,14 +1,25 @@
 #!/usr/bin/env bash
 # Full local CI: tests (CPU, 8 virtual devices) + multichip dryrun + native
 # build + headline bench smoke (TPU if available, else skipped).
+#
+# --fast: parallel workers (pytest-xdist, per-worker cache dirs via
+# conftest.py) and skip @slow tests — the under-10-minute pre-commit gate.
+# The full serial suite remains the merge gate.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+FAST=0
+[[ "${1:-}" == "--fast" ]] && FAST=1
 
 echo "== native build =="
 make -C native
 
 echo "== test suite (CPU backend) =="
-python -m pytest tests/ -q
+if [[ "$FAST" == 1 ]]; then
+    python -m pytest tests/ -q -n auto -m "not slow"
+else
+    python -m pytest tests/ -q
+fi
 
 echo "== multichip dryrun =="
 python __graft_entry__.py

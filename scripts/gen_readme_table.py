@@ -59,6 +59,13 @@ META = {
     "bridge_vits": ("depth", "`later/BRIDGE`"),
     "flashdepth": ("streaming video depth", "`later/FlashDepth`"),
     "sidepth_vits": ("scale-invariant depth", "`later/SIDepth`"),
+    "depth_anything_v2_vits_b8": ("depth (batched offline serving)",
+                                  "`Depth_Anything_V2/`"),
+    "depth_anything_ac_vits_b8": ("depth (batched offline serving)",
+                                  "`Depth_Anything_AC/`"),
+    "vggt_s2": ("multi-view geometry (S=2)", "`VGGT/`"),
+    "vggt_s4": ("multi-view geometry (S=4)", "`VGGT/`"),
+    "vggt_s8": ("multi-view geometry (S=8)", "`VGGT/`"),
 }
 
 FID_SHORT = {

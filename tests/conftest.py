@@ -14,8 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Keep test-time compiles out of the user's persistent cache.
-os.environ.setdefault("MDET_CACHE_DIR", "/tmp/mdet_test_cache")
+# Keep test-time compiles out of the user's persistent cache. Under
+# pytest-xdist each worker gets its own directory so concurrent engine
+# registry / orbax writes cannot race (scripts/ci.sh --fast runs -n auto).
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "")
+os.environ.setdefault(
+    "MDET_CACHE_DIR",
+    "/tmp/mdet_test_cache" + (f"_{_worker}" if _worker else ""),
+)
 
 # The axon TPU plugin (remote tunnel) ignores JAX_PLATFORMS; force the CPU
 # platform through jax.config, which it does respect.

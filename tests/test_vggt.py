@@ -92,3 +92,41 @@ def test_vggt_tp_rules_cover_aggregator():
     rules = vit_tp_rules()
     assert rules.spec_for("aggregator/frame_0/attn/qkv/kernel", 2) == P(None, "model")
     assert rules.spec_for("aggregator/global_5/mlp/fc2/kernel", 2) == P("model", None)
+
+
+def test_vggt_pipeline_multi_view(rng):
+    """The S-axis serving surface (_build_vggt VGGTPipeline.multi_view):
+    S views -> per-view depth/conf/pose through ONE jitted program, matching
+    the joint model forward (the reference's export pins S=1,
+    VGGT/onnx_export.py:63)."""
+    from monocular_depth_estimation_trt_tpu.registry import _build_vggt
+
+    model = VGGT(cfg=TINY_CFG, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=True)
+    example = jnp.zeros((1, 1, 70, 70, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), example)["params"]
+    pipe = _build_vggt("vggt", 70, "fp32", "xla", params,
+                       vggt_cfg=TINY_CFG, with_camera=True)
+
+    views = rng.integers(0, 255, (3, 70, 70, 3), dtype=np.uint8)
+    out = pipe.multi_view(views)
+    assert out["depth"].shape == (3, 70, 70)
+    assert out["depth_conf"].shape == (3, 70, 70)
+    assert out["pose_enc"].shape == (3, 9)
+    assert np.isfinite(out["depth"]).all()
+
+    # parity with the joint forward on identically preprocessed views
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        preprocess_pad_square,
+    )
+
+    x = preprocess_pad_square(jnp.asarray(views), 70)
+    ref = model.apply({"params": pipe.params}, x[None])
+    assert np.allclose(out["depth"], np.asarray(ref["depth"][0]), atol=1e-4)
+
+    # benchmark_views reports per-frame throughput over the S-view program
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+
+    rep = pipe.benchmark_views(2, BenchmarkConfig(warmup=1, iterations=2))
+    assert rep.frames_per_iteration == 2
+    assert rep.iterations == 2
