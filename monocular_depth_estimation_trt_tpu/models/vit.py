@@ -134,16 +134,18 @@ class Attention(nn.Module):
 
         impl = self.attn_impl
         if impl == "auto":
-            # Measured on v5e (unpadded-d kernel):
-            # ViT-S @N=1370 (6 heads):   XLA 2.06 ms vs flash 3.01 ms -> XLA
-            # ViT-L @N=1370 (16 heads):  XLA 15.4 ms vs flash 13.2 ms -> flash
-            # ViT-L @N=577 (Depth Pro):  XLA 173 ms vs flash 189 ms   -> XLA
-            # The Pallas kernel wins when the score matrix is large (long
-            # sequences) on wide models; XLA's fusion wins on short/narrow.
-            use_flash = (
-                jax.default_backend() == "tpu"
-                and self.num_heads >= 12
-                and n >= 1024
+            # Measured on v5e (2026-08 attn_bench.py runs):
+            # ViT-L @N=1374 (16 heads):  flash (whole-N block) beats XLA
+            # ViT-S @N=1374 (6 heads):   flash_q704 1.20 ms vs XLA 1.29 ms
+            # Depth Pro (35x16, N=577):  flash_b4 2.69 ms vs XLA 3.70 ms —
+            #   the batch-gridded kernel amortizes program overhead over a
+            #   block of heads (scripts/attn_bench.py to re-measure).
+            # Routing: flash for wide models on long sequences AND for the
+            # many-small-heads windowed regime; XLA elsewhere (short/narrow
+            # single-head-ish shapes, where its fusion wins).
+            use_flash = jax.default_backend() == "tpu" and (
+                (self.num_heads >= 12 and n >= 1024)
+                or (b * self.num_heads >= 256 and n <= 1024)
             )
             impl = "flash" if use_flash else "xla"
         if impl == "flash":

@@ -66,16 +66,44 @@ def candidate_blocks(n_pad: int) -> Tuple[int, ...]:
     return tuple(out)
 
 
-def default_block(n_pad: int, d_pad: int) -> int:
-    # measured on v5e (see docs/PERF.md): the whole-N block wins up to 2048
-    # tokens at d<=64 — the fp32 score tile (N^2*4B <= 16MB) fits VMEM and
-    # per-program overhead dominates otherwise
+def default_block(n_pad: int, d_pad: int, bh: int = 0) -> int:
+    """Measured v5e defaults (docs/PERF.md). Negative return = batch-gridded
+    kernel with blk_b = -value."""
+    if bh >= 256 and n_pad <= 1024 and d_pad <= 64:
+        # many-small-heads regime (Depth Pro windowed encoder, 2026-08 runs:
+        # flash_b4 2.69 ms vs XLA 3.70 ms at (560, 640, 64)): amortize
+        # program overhead over a block of heads
+        from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+            max_batch_block,
+        )
+
+        bb = max_batch_block(bh, n_pad, d_pad)
+        if bb > 1:
+            return -bb
     if n_pad <= 2048 and d_pad <= 64:
+        # the whole-N block wins for the ViT-L shape — the fp32 score tile
+        # (N^2*4B <= 16MB) fits VMEM and per-program overhead dominates;
+        # at few heads (ViT-S) a half-N block measured best (q704)
+        if 1 <= bh <= 8 and n_pad >= 1280:
+            return n_pad // 2
         return n_pad
     return 256
 
 
+def candidate_batch_blocks(bh: int, n_pad: int, d_pad: int) -> Tuple[int, ...]:
+    """Legal heads-per-program blocks for the batch-gridded kernel (many
+    small heads): must divide bh and fit the VMEM budget."""
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        max_batch_block,
+    )
+
+    top = max_batch_block(bh, n_pad, d_pad)
+    return tuple(b for b in (2, 4, 8) if b <= top and bh % b == 0)
+
+
 def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
+    """Time every legal blocking; returns blk_q > 0 for the sequence-gridded
+    kernel or -blk_b < 0 for the batch-gridded kernel."""
     import time
 
     import numpy as np
@@ -93,21 +121,29 @@ def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
     k = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
     v = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
 
-    best, best_t = None, float("inf")
-    for blk in candidate_blocks(n_pad):
-        fn = jax.jit(
-            lambda q, k, v, blk=blk: flash_attention(q, k, v, blk_q=blk)
-        )
+    def time_fn(fn):
         out = fn(q, k, v)
         np.asarray(out.ravel()[0:1])
         t0 = time.perf_counter()
         for _ in range(30):
             out = fn(q, k, v)
         np.asarray(out.ravel()[0:1])
-        t = time.perf_counter() - t0
+        return time.perf_counter() - t0
+
+    best, best_t = None, float("inf")
+    for blk in candidate_blocks(n_pad):
+        t = time_fn(jax.jit(
+            lambda q, k, v, blk=blk: flash_attention(q, k, v, blk_q=blk)
+        ))
         if t < best_t:
             best, best_t = blk, t
-    return best or default_block(n_pad, d_pad)
+    for bb in candidate_batch_blocks(bh, n_pad, d_pad):
+        t = time_fn(jax.jit(
+            lambda q, k, v, bb=bb: flash_attention(q, k, v, blk_b=bb)
+        ))
+        if t < best_t:
+            best, best_t = -bb, t
+    return best or default_block(n_pad, d_pad, bh)
 
 
 def best_block(bh: int, n_pad: int, d_pad: int, dtype) -> int:
@@ -126,4 +162,4 @@ def best_block(bh: int, n_pad: int, d_pad: int, dtype) -> int:
         cache[key] = blk
         _save_cache()
         return blk
-    return default_block(n_pad, d_pad)
+    return default_block(n_pad, d_pad, bh)

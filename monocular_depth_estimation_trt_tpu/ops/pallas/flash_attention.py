@@ -65,6 +65,55 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _attn_kernel_batched(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int
+):
+    """Batch-gridded variant: one program computes FULL attention for a
+    block of heads (blk_b, N, d). For many-small-head shapes (Depth Pro's
+    35x16 windowed heads at N=577) the per-program grid overhead of the
+    sequence-gridded kernel dominates; amortizing it over blk_b heads with
+    batched MXU matmuls wins."""
+    q = q_ref[...]  # (blk_b, N, d)
+    k = k_ref[...]
+    v = v_ref[...]
+    n = k.shape[1]
+
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (blk_b, N, N) fp32
+    s = s * scale
+    if valid_len < n:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=2)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p,
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def max_batch_block(bh: int, n_pad: int, d_pad: int, itemsize: int = 2) -> int:
+    """Largest legal heads-per-program block under the VMEM budget: the fp32
+    score tile blk_b*N^2*4B plus q/k/v/o tiles must stay well inside the
+    ~16 MB of VMEM."""
+    budget = 12 * 1024 * 1024
+    for blk_b in (8, 4, 2):
+        need = blk_b * (n_pad * n_pad * 4 + 4 * n_pad * d_pad * itemsize)
+        if bh % blk_b == 0 and need <= budget:
+            return blk_b
+    return 1
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -72,14 +121,18 @@ def flash_attention(
     *,
     scale: Optional[float] = None,
     blk_q: Optional[int] = None,
+    blk_b: int = 1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Multi-head attention, shapes ``(B, H, N, d)`` -> ``(B, H, N, d)``.
 
     Non-causal (ViT encoders are bidirectional). N and d may be arbitrary;
     padding to TPU tile boundaries is internal. ``blk_q=None`` resolves the
-    q-block through the per-shape timing cache / measured defaults
-    (``ops/pallas/autotune.py``). On non-TPU backends the kernel runs in
+    blocking through the per-shape timing cache / measured defaults
+    (``ops/pallas/autotune.py``; a negative cached value means the
+    batch-gridded kernel with ``blk_b = -value``). ``blk_b > 1`` selects the
+    batch-gridded kernel: whole-N attention for ``blk_b`` heads per program
+    (the many-small-heads regime). On non-TPU backends the kernel runs in
     Pallas interpret mode (tests); production path is TPU.
     """
     b, h, n, d = q.shape
@@ -92,13 +145,18 @@ def flash_attention(
     # pad d to a lane-friendly size but do NOT round 64 up to 128 — that
     # doubles QK^T and PV FLOPs for the common ViT head_dim=64
     d_pad = 64 if d <= 64 else _round_up(d, 128)
-    if blk_q is None:
+    if blk_q is None and blk_b == 1:
         from monocular_depth_estimation_trt_tpu.ops.pallas.autotune import (
             best_block,
         )
 
         blk_q = best_block(b * h, n_pad, d_pad, q.dtype)
-    blk_q = min(blk_q, n_pad)
+        if blk_q < 0:  # batch-gridded winner from the timing cache
+            blk_b, blk_q = -blk_q, n_pad
+    if blk_b > 1:
+        while (b * h) % blk_b:
+            blk_b //= 2
+    blk_q = min(blk_q or n_pad, n_pad)
     while n_pad % blk_q or blk_q % 8:
         blk_q //= 2
     blk_q = max(blk_q, 8)
@@ -111,33 +169,62 @@ def flash_attention(
     kp = kp.reshape(b * h, n_pad, d_pad)
     vp = vp.reshape(b * h, n_pad, d_pad)
 
-    grid = (b * h, n_pad // blk_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, valid_len=n),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    cost = pl.CostEstimate(
+        flops=4 * b * h * n_pad * n_pad * d_pad,
+        bytes_accessed=3 * b * h * n_pad * d_pad * q.dtype.itemsize
+        + b * h * n_pad * d_pad * q.dtype.itemsize,
+        transcendentals=b * h * n_pad * n_pad,
+    )
+
+    if blk_b > 1:
+        grid = ((b * h) // blk_b,)
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_kernel_batched, scale=scale, valid_len=n
             ),
-            pl.BlockSpec(
-                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk_b, n_pad, d_pad),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
+    else:
+        grid = (b * h, n_pad // blk_q)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, valid_len=n),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, blk_q, d_pad), lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, blk_q, d_pad), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, n_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, blk_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n_pad * n_pad * d_pad,
-            bytes_accessed=3 * b * h * n_pad * d_pad * q.dtype.itemsize
-            + b * h * n_pad * d_pad * q.dtype.itemsize,
-            transcendentals=b * h * n_pad * n_pad,
-        ),
-        interpret=interpret,
-    )(qp, kp, vp)
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qp, kp, vp)
 
     out = out.reshape(b, h, n_pad, d_pad)
     return out[:, :, :n, :d]

@@ -40,15 +40,19 @@ def audit(name: str, eng, batch: int, iters: int) -> dict:
     from monocular_depth_estimation_trt_tpu.runtime.benchmark import benchmark
 
     eng.compile()
+    print(f"[roofline] {name}: compiled", flush=True)
     ca = eng.cost_analysis() or {}
     flops = _ca_value(ca, "flops")
     byts = _ca_value(ca, "bytes accessed")
+    print(f"[roofline] {name}: cost analysis flops={flops:.3e} "
+          f"bytes={byts:.3e}", flush=True)
 
     rng = np.random.default_rng(0)
     import jax
 
     frames = jax.device_put(rng.integers(
         0, 255, eng._example_args[1].shape, dtype=np.uint8))
+    print(f"[roofline] {name}: input staged, benchmarking", flush=True)
     rep = benchmark(lambda f: eng(eng._example_args[0], f), (frames,),
                     config=BenchmarkConfig(warmup=5, iterations=iters),
                     name=name)

@@ -53,3 +53,12 @@ def test_flash_attention_resolves_default_block(rng):
     out = flash_attention(q, k, v)  # interpret mode on CPU
     ref = attention_reference(q, k, v)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_default_block_new_regimes():
+    # many-small-heads (Depth Pro windows): batch-gridded default
+    assert at.default_block(640, 64, bh=560) == -4
+    # few heads on a long sequence (ViT-S): half-N block measured best
+    assert at.default_block(1408, 64, bh=6) == 704
+    # bh unknown (0): legacy whole-N default preserved
+    assert at.default_block(1408, 64) == 1408

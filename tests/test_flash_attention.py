@@ -38,3 +38,62 @@ def test_flash_no_nan_on_padded_rows(rng):
     q = jnp.asarray(rng.standard_normal((1, 1, 100, 64)).astype(np.float32))
     out = np.asarray(flash_attention(q, q, q, blk_q=128))
     assert np.isfinite(out).all()
+
+
+def test_batched_kernel_matches_reference(rng):
+    """Batch-gridded variant (blk_b heads per program): exact vs the XLA
+    oracle at the Depth-Pro-like many-small-heads shape."""
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 77, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 77, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 77, 32)).astype(np.float32))
+    ref = attention_reference(q, k, v)
+    for bb in (2, 4):
+        out = flash_attention(q, k, v, blk_b=bb)
+        assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5, bb
+
+
+def test_batched_kernel_blk_b_not_dividing_bh_degrades(rng):
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    # b*h = 6 and blk_b=4 -> kernel must fall back to a legal divisor
+    q = jnp.asarray(rng.standard_normal((2, 3, 40, 16)).astype(np.float32))
+    ref = attention_reference(q, q, q)
+    out = flash_attention(q, q, q, blk_b=4)
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5
+
+
+def test_max_batch_block_vmem_budget():
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        max_batch_block,
+    )
+
+    # Depth Pro windowed shape: 560 heads, N_pad=640, d=64 -> scores tile
+    # 640^2*4B = 1.6 MB per head; 8 heads = 13.7 MB > budget, 4 fits
+    assert max_batch_block(560, 640, 64) == 4
+    # ViT-L shape: N_pad=1408 -> 7.9 MB scores per head; only 1 fits
+    assert max_batch_block(16, 1408, 64) == 1
+
+
+def test_negative_cache_entry_selects_batched(rng, tmp_path, monkeypatch):
+    """A -blk_b timing-cache entry routes flash_attention to the batched
+    kernel transparently."""
+    import monocular_depth_estimation_trt_tpu.ops.pallas.autotune as at
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        attention_reference,
+        flash_attention,
+    )
+
+    monkeypatch.setenv("MDET_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(at, "_CACHE", {"bh8_n128_d64": -4})
+    q = jnp.asarray(rng.standard_normal((2, 4, 100, 32)).astype(np.float32))
+    ref = attention_reference(q, q, q)
+    out = flash_attention(q, q, q)  # blk resolved from the cache
+    assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5
