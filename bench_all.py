@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -85,8 +86,15 @@ def _run_isolated(tag: str, quick: bool, retries: int = 2) -> dict:
         cmd = [sys.executable, __file__, "--models", tag, "--out", "-"]
         if quick:
             cmd.append("--quick")
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=3600)
+        row_timeout = int(os.environ.get("MDET_BENCH_ROW_TIMEOUT", "3600"))
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=row_timeout)
+        except subprocess.TimeoutExpired:
+            last = {"model": tag, "error": f"row timeout {row_timeout}s "
+                    "(axon tunnel stall?)"}
+            print(f"[bench_all] {tag}: attempt {attempt + 1} timed out")
+            continue
         for line in proc.stdout.splitlines():
             line = line.strip()
             if line.startswith("{") and f'"model": "{tag}"' in line:
