@@ -47,6 +47,12 @@ SUITE = [
     ("bridge", {"encoder": "vits"}, (518, 518), None),
     ("litevggt", {}, (518, 518), None),
     ("waft", {}, (280, 504), None),
+    # SLAM recipes (reference later/{MegaSaM,VIPE,WildGS-SLAM} README-only
+    # staging dirs): the hot jitted core — LM-BA solve (megasam/vipe, K=8
+    # keyframes at this grid resolution) / splat-mapping step (wildgs_slam).
+    ("megasam", {}, (288, 512), None),
+    ("vipe", {}, (288, 512), None),
+    ("wildgs_slam", {}, (144, 256), None),
     ("raft", {}, (288, 512), 21.96),
     ("neuflow", {}, (288, 512), 25.88),
     ("meflow", {}, (288, 512), 18.52),

@@ -525,6 +525,83 @@ def cmd_views(args) -> int:
     return 0
 
 
+def _load_clip(args) -> list:
+    """Frames for the SLAM recipes: ``--video`` (with ``--stride`` /
+    ``--max-frames``) or a ``--frames`` directory of images."""
+    import cv2
+
+    frames = []
+    if args.video:
+        cap = cv2.VideoCapture(args.video)
+        if not cap.isOpened():
+            raise FileNotFoundError(f"[MDET] cannot open video: {args.video}")
+        n = 0
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            if n % max(args.stride, 1) == 0:
+                frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+                if args.max_frames and len(frames) >= args.max_frames:
+                    break
+            n += 1
+        cap.release()
+    else:
+        names = sorted(os.listdir(args.frames))
+        for nm in names[:: max(args.stride, 1)]:
+            p = os.path.join(args.frames, nm)
+            if os.path.splitext(nm)[1].lower() in (".jpg", ".jpeg", ".png"):
+                frames.append(_load_image(p))
+                if args.max_frames and len(frames) >= args.max_frames:
+                    break
+    if len(frames) < 2:
+        raise ValueError(f"[MDET] need >=2 frames, got {len(frames)}")
+    return frames
+
+
+def cmd_slam(args) -> int:
+    """Video SLAM recipes — the reference's three README-only staging dirs
+    (``later/MegaSaM/README.md``, ``later/VIPE/README.md``,
+    ``later/WildGS-SLAM/README.md``) as runnable compositions of the zoo's
+    own engines. Writes poses + refined focal + aligned keyframe disparity
+    (and, with ``--cvd``, per-frame consistent video depth)."""
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    frames = _load_clip(args)
+    pipe = build_pipeline(args.model)
+    if not hasattr(pipe, "run"):
+        log(f"{args.model} is not a SLAM recipe", tag="ERROR")
+        return 2
+    res = pipe.run(frames, focal=args.focal or None)
+
+    os.makedirs(args.out, exist_ok=True)
+    src = args.video or args.frames
+    stem = os.path.splitext(os.path.basename(os.path.normpath(src)))[0]
+    name = pipe.spec.artifact_name()
+    payload = {
+        "poses": res.poses,
+        "keyframes": np.asarray(res.keyframe_indices, np.int32),
+        "focal_px": np.float32(res.focal),
+        "rms_px": np.float32(res.rms_px),
+        "keyframe_disparity": np.stack(res.keyframe_disparity),
+    }
+    if "metric_scale" in res.extras:
+        payload["metric_scale"] = np.float32(res.extras["metric_scale"])
+    if "rendered_depth" in res.extras:
+        payload["rendered_depth"] = np.stack(res.extras["rendered_depth"])
+    npz = os.path.join(args.out, f"{stem}_{name}.npz")
+    np.savez_compressed(npz, **payload)
+    log(f"wrote {npz} (K={len(res.keyframe_indices)}, "
+        f"rms {res.rms_px:.2f} px, focal {res.focal:.1f} px)")
+
+    if args.cvd:
+        cvd = pipe.consistent_video_depth(frames, res)
+        cvd_npz = os.path.join(args.out, f"{stem}_{name}_cvd.npz")
+        np.savez_compressed(cvd_npz, disparity=np.stack(cvd))
+        log(f"wrote {cvd_npz} ({len(cvd)} frames)")
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Convert (and audit) a torch checkpoint without running the model.
 
@@ -715,6 +792,22 @@ def build_parser() -> argparse.ArgumentParser:
     build.add_argument("--viz", action="store_true")
     build.set_defaults(fn=cmd_build)
 
+    slam = sub.add_parser(
+        "slam", help="video SLAM recipes (megasam / vipe / wildgs_slam)")
+    slam.add_argument("model", nargs="?", default="megasam")
+    slam.add_argument("--video", default="")
+    slam.add_argument("--frames", default="",
+                      help="directory of frames (alternative to --video)")
+    slam.add_argument("--out", default="results")
+    slam.add_argument("--focal", type=float, default=0.0,
+                      help="known focal in flow-resolution px (default: "
+                      "recipe-specific prior / GeoCalib)")
+    slam.add_argument("--stride", type=int, default=1)
+    slam.add_argument("--max-frames", type=int, default=0)
+    slam.add_argument("--cvd", action="store_true",
+                      help="also write per-frame consistent video depth")
+    slam.set_defaults(fn=cmd_slam)
+
     convert = sub.add_parser(
         "convert",
         help="convert/audit a torch checkpoint (supports hf:org/repo/file)")
@@ -728,7 +821,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam, track, pair, batch, views):
+    for sp in (run, flow, video, webcam, track, pair, batch, views, slam):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

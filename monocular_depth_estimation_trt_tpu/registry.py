@@ -2279,3 +2279,43 @@ def memfof(iters: int = 8, input_hw: tuple = (288, 512),
 
     pipe_self = TripletFlowPipeline()
     return pipe_self
+
+
+# -- SLAM recipes (reference later/MegaSaM, later/VIPE, later/WildGS-SLAM) --
+# The reference vendors NO code for these three staging dirs — each README
+# is a clone-and-run recipe around networks served above. The TPU-first
+# systems live in slam/ (dense-flow LM-BA, Gaussian-splat mapping); the
+# registry entries wire them to the zoo's flow/depth/calibration pipelines.
+# Fidelity is "approximated" by construction: there is no reference graph
+# to converter-verify against, only the papers' problem definitions.
+
+
+@register("megasam", fidelity="approximated")
+def megasam(**kw) -> "Any":
+    """MegaSaM casual-video structure+motion (``later/MegaSaM/README.md``;
+    arXiv 2412.04463): DA disparity + RAFT flow -> keyframe LM bundle
+    adjustment with focal refinement -> consistent video depth. Use
+    ``mdet slam megasam --video ...`` or ``pipe.run(frames)``."""
+    from monocular_depth_estimation_trt_tpu.slam.recipes import MegaSaMPipeline
+
+    return MegaSaMPipeline(**kw)
+
+
+@register("vipe", fidelity="approximated")
+def vipe(**kw) -> "Any":
+    """ViPE video pose engine (``later/VIPE/README.md``): GeoCalib
+    intrinsics + flow BA + UniDepth metric promotion -> poses, intrinsics,
+    metric depth. Use ``mdet slam vipe --video ...``."""
+    from monocular_depth_estimation_trt_tpu.slam.recipes import ViPEPipeline
+
+    return ViPEPipeline(**kw)
+
+
+@register("wildgs_slam", fidelity="approximated")
+def wildgs_slam(**kw) -> "Any":
+    """WildGS-SLAM (``later/WildGS-SLAM/README.md``; arXiv 2504.03886):
+    flow-BA tracking + uncertainty-weighted Gaussian-splat mapping, robust
+    to dynamic scenes. Use ``mdet slam wildgs_slam --video ...``."""
+    from monocular_depth_estimation_trt_tpu.slam.recipes import WildGSSLAMPipeline
+
+    return WildGSSLAMPipeline(**kw)

@@ -107,7 +107,10 @@ def make_mapping_step(unc_net: UncertaintyNet, cfg: MappingConfig):
     def init_opt(gmap: GaussianMap, unc_params: Any):
         return tx.init((gmap, unc_params))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    # NOTE: no buffer donation — benchmark/replay paths re-call the step
+    # with the same arrays, which donation would invalidate. The state is
+    # tiny (MBs) so the copy cost is negligible.
+    @jax.jit
     def step(gmap, unc_params, opt_state, frame_rgb, depth_anchor, c2w, focal):
         def lossfn(pair):
             g, u = pair

@@ -537,3 +537,104 @@ def g_align3r():
     params = _init(model, 84, i1, i2, p1, p2)
     out = model.apply({"params": params}, i1, i2, p1, p2)
     return _np({k: out[k] for k in ("pts1", "conf1", "pts2", "conf2")})
+
+
+# -- SLAM recipes: pin the jitted solver cores, not the host orchestration --
+# (reference later/MegaSaM, later/VIPE, later/WildGS-SLAM — README-only
+# staging recipes; the numerics worth gating are the LM-BA solve and the
+# differentiable splatting/mapping step.)
+
+
+def _ba_closed_loop(k=4, hw=(48, 64), focal=60.0):
+    """Tiny geometric problem: flows generated by the solver's own
+    projection model from a fixed trajectory + surface (zero residual at the
+    optimum -> a numerically stable golden)."""
+    from monocular_depth_estimation_trt_tpu.slam.ba import (
+        BAConfig, BAProblem, BAState, _residuals)
+    from monocular_depth_estimation_trt_tpu.slam.lie import se3_exp
+
+    rng = np.random.default_rng(90)
+    h, w = hw
+    us = (np.arange(8) + 0.5) * (w / 8)
+    vs = (np.arange(6) + 0.5) * (h / 6)
+    uu, vv = np.meshgrid(us, vs)
+    pts = jnp.asarray(np.stack([uu.ravel(), vv.ravel()], -1), jnp.float32)
+    p = pts.shape[0]
+    xis = np.cumsum(
+        np.concatenate([np.full((k, 3), 0.03), rng.normal(0, 0.01, (k, 3))],
+                       axis=1).astype(np.float32), axis=0)
+    xis[0] = 0
+    poses = se3_exp(jnp.asarray(xis))
+    depth = (2.5 + 0.6 * np.sin(uu / w * 3.0) * np.cos(vv / h * 2.0)
+             ).reshape(1, p).repeat(k, 0)
+    edges = jnp.asarray(
+        [(i, j) for i in range(k) for j in range(k)
+         if 0 < abs(i - j) <= 2], jnp.int32)
+    st_gt = BAState(poses=poses, log_scale=jnp.zeros((k,)),
+                    shift=jnp.zeros((k,)), log_focal=jnp.zeros(()))
+    prob0 = BAProblem(
+        points_uv=pts, idepth=jnp.asarray(1.0 / depth, jnp.float32),
+        edges=edges, flow=jnp.zeros((edges.shape[0], p, 2), jnp.float32),
+        weight=jnp.ones((edges.shape[0], p), jnp.float32))
+    center = jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
+    flow = _residuals(st_gt, prob0, jnp.float32(focal), center, BAConfig())
+    return prob0._replace(flow=flow), focal, hw
+
+
+@golden("megasam")
+def g_megasam():
+    from monocular_depth_estimation_trt_tpu.slam.ba import (
+        BAConfig, init_state, run_ba)
+
+    prob, focal, hw = _ba_closed_loop()
+    cfg = BAConfig(iters=12, optimize_focal=False)
+    final, info = run_ba(prob, init_state(4), focal, hw, cfg)
+    return {"poses": np.asarray(final.poses),
+            "log_scale": np.asarray(final.log_scale),
+            "shift": np.asarray(final.shift),
+            "rms_px": np.asarray(info["rms_px"])}
+
+
+@golden("vipe")
+def g_vipe():
+    from monocular_depth_estimation_trt_tpu.slam.ba import (
+        BAConfig, align_disparity, init_state, run_ba)
+
+    prob, focal, hw = _ba_closed_loop()
+    cfg = BAConfig(iters=16, optimize_focal=True, focal_prior=1e-4)
+    final, info = run_ba(prob, init_state(4), focal * 1.1, hw, cfg)
+    rng = np.random.default_rng(91)
+    disp = jnp.asarray(rng.uniform(0.2, 1.0, (64,)), jnp.float32)
+    s, q = align_disparity(disp, 1.0 / (1.4 * disp + 0.05),
+                           jnp.ones_like(disp))
+    return {"poses": np.asarray(final.poses),
+            "log_focal": np.asarray(final.log_focal),
+            "rms_px": np.asarray(info["rms_px"]),
+            "align": np.asarray([s, q])}
+
+
+@golden("wildgs_slam")
+def g_wildgs_slam():
+    from monocular_depth_estimation_trt_tpu.slam.gaussians import (
+        init_from_depth, render)
+    from monocular_depth_estimation_trt_tpu.slam.mapping import (
+        MappingConfig, UncertaintyNet, make_mapping_step)
+
+    rng = np.random.default_rng(92)
+    hw = (16, 32)
+    depth = jnp.asarray(2.0 + rng.random(hw).astype(np.float32))
+    rgb = jnp.asarray(rng.random((*hw, 3)).astype(np.float32))
+    pose = jnp.eye(4, dtype=jnp.float32)
+    focal = jnp.float32(30.0)
+    gmap = init_from_depth(rgb, depth, pose, focal, stride=2,
+                           max_gaussians=256)
+    net = UncertaintyNet(width=8)
+    unc = net.init(jax.random.PRNGKey(92), rgb)["params"]
+    init_opt, step = make_mapping_step(net, MappingConfig(k_per_tile=8))
+    opt = init_opt(gmap, unc)
+    for _ in range(2):
+        gmap, unc, opt, loss, _aux = step(gmap, unc, opt, rgb, depth, pose,
+                                          focal)
+    out = render(gmap, pose, focal, hw, k_per_tile=8)
+    return {"depth": np.asarray(out.depth), "color": np.asarray(out.color),
+            "loss": np.asarray(loss)}
