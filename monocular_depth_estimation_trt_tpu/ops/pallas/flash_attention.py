@@ -102,6 +102,26 @@ def _attn_kernel_batched(
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+def head_chunk(bh: int, n_pad: int, d_pad: int, itemsize: int = 2) -> int:
+    """Heads per custom call in the long-sequence regime (else ``bh``).
+
+    At huge N (VGGT global attention at S>=8 views -> N ~ 11k tokens) XLA
+    stages the custom call's relayout'd operand in scoped VMEM; past ~16 MB
+    per operand that staging itself OOMs ("kernel-vmem-stack-oom"). Chunking
+    the head axis keeps every call's (chunk, N, d) operand within the proven
+    budget. Short-N shapes (incl. batch>1 serving, measured-good unchunked)
+    return ``bh`` untouched.
+    """
+    head_bytes = n_pad * d_pad * itemsize
+    if n_pad < 4096 or bh * head_bytes <= 12 * 1024 * 1024:
+        return bh
+    max_heads = max(1, (10 * 1024 * 1024) // head_bytes)
+    return max(
+        (c for c in range(1, min(max_heads, bh) + 1) if bh % c == 0),
+        default=1,
+    )
+
+
 def max_batch_block(bh: int, n_pad: int, d_pad: int, itemsize: int = 2) -> int:
     """Largest legal heads-per-program block under the VMEM budget: the fp32
     score tile blk_b*N^2*4B plus q/k/v/o tiles must stay well inside the
@@ -169,62 +189,81 @@ def flash_attention(
     kp = kp.reshape(b * h, n_pad, d_pad)
     vp = vp.reshape(b * h, n_pad, d_pad)
 
-    cost = pl.CostEstimate(
-        flops=4 * b * h * n_pad * n_pad * d_pad,
-        bytes_accessed=3 * b * h * n_pad * d_pad * q.dtype.itemsize
-        + b * h * n_pad * d_pad * q.dtype.itemsize,
-        transcendentals=b * h * n_pad * n_pad,
-    )
-
-    if blk_b > 1:
-        grid = ((b * h) // blk_b,)
-        out = pl.pallas_call(
-            functools.partial(
-                _attn_kernel_batched, scale=scale, valid_len=n
-            ),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((blk_b, n_pad, d_pad), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((blk_b, n_pad, d_pad),
-                                   lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qp, kp, vp)
-    else:
-        grid = (b * h, n_pad // blk_q)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale, valid_len=n),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
+    def call(qc, kc, vc):
+        bh = qc.shape[0]
+        cost = pl.CostEstimate(
+            flops=4 * bh * n_pad * n_pad * d_pad,
+            bytes_accessed=4 * bh * n_pad * d_pad * q.dtype.itemsize,
+            transcendentals=bh * n_pad * n_pad,
+        )
+        if blk_b > 1:
+            bb = blk_b
+            while bh % bb:
+                bb //= 2
+            out = pl.pallas_call(
+                functools.partial(
+                    _attn_kernel_batched, scale=scale, valid_len=n
+                ),
+                grid=(bh // bb,),
+                in_specs=[
+                    pl.BlockSpec((bb, n_pad, d_pad), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bb, n_pad, d_pad), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bb, n_pad, d_pad), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bb, n_pad, d_pad),
+                                       lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), q.dtype),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(qc, kc, vc)
+        else:
+            out = pl.pallas_call(
+                functools.partial(_attn_kernel, scale=scale, valid_len=n),
+                grid=(bh, n_pad // blk_q),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, blk_q, d_pad), lambda i, j: (i, j, 0),
+                        memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
                     (1, blk_q, d_pad), lambda i, j: (i, j, 0),
                     memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec(
-                    (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
-                    memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (1, n_pad, d_pad), lambda i, j: (i, 0, 0),
-                    memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, blk_q, d_pad), lambda i, j: (i, j, 0),
-                memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
-            cost_estimate=cost,
-            interpret=interpret,
-        )(qp, kp, vp)
+                out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), q.dtype),
+                cost_estimate=cost,
+                interpret=interpret,
+            )(qc, kc, vc)
+        return out
+
+    # Long-sequence guard: at huge N (VGGT global attention, S>=8 views ->
+    # N ~ 11k tokens) XLA stages the custom call's relayout'd operand in
+    # scoped VMEM; past ~16 MB per operand that staging itself OOMs
+    # ("kernel-vmem-stack-oom"). Chunk the head axis so every custom call's
+    # (bh_chunk, N, d) operand stays within the proven budget. Only the
+    # long-N regime is chunked — short-N shapes (incl. batch>1 serving) are
+    # measured-good unchunked.
+    chunk = head_chunk(b * h, n_pad, d_pad, q.dtype.itemsize)
+    if chunk < b * h and not interpret:
+        qs = qp.reshape(-1, chunk, n_pad, d_pad)
+        ks = kp.reshape(-1, chunk, n_pad, d_pad)
+        vs = vp.reshape(-1, chunk, n_pad, d_pad)
+        out = jax.lax.map(lambda t: call(*t), (qs, ks, vs))
+        out = out.reshape(b * h, n_pad, d_pad)
+    else:
+        out = call(qp, kp, vp)
 
     out = out.reshape(b, h, n_pad, d_pad)
     return out[:, :, :n, :d]

@@ -63,6 +63,9 @@ META = {
                                   "`Depth_Anything_V2/`"),
     "depth_anything_ac_vits_b8": ("depth (batched offline serving)",
                                   "`Depth_Anything_AC/`"),
+    "megasam": ("video SLAM (LM-BA solves/s)", "`later/MegaSaM`"),
+    "vipe": ("video pose engine (LM-BA solves/s)", "`later/VIPE`"),
+    "wildgs_slam": ("splat-SLAM (mapping steps/s)", "`later/WildGS-SLAM`"),
     "vggt_s2": ("multi-view geometry (S=2)", "`VGGT/`"),
     "vggt_s4": ("multi-view geometry (S=4)", "`VGGT/`"),
     "vggt_s8": ("multi-view geometry (S=8)", "`VGGT/`"),

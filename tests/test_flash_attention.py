@@ -97,3 +97,22 @@ def test_negative_cache_entry_selects_batched(rng, tmp_path, monkeypatch):
     ref = attention_reference(q, q, q)
     out = flash_attention(q, q, q)  # blk resolved from the cache
     assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) < 1e-5
+
+
+def test_head_chunk_long_sequence_guard():
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        head_chunk,
+    )
+
+    # short-N shapes never chunk, regardless of total operand size
+    assert head_chunk(128, 1408, 64) == 128  # vitl batch=8 serving
+    assert head_chunk(560, 640, 64) == 560   # depth pro windowed heads
+    # VGGT global attention S=8: 16 heads x 11008 tokens = 22.5 MB operand
+    # must split into <=10 MB chunks (kernel-vmem-stack-oom guard)
+    c = head_chunk(16, 11008, 64)
+    assert c < 16 and 16 % c == 0
+    assert c * 11008 * 64 * 2 <= 10 * 1024 * 1024
+    # S=4 (11.3 MB total) stays unchunked — the measured-good regime
+    assert head_chunk(16, 5504, 64) == 16
+    # degenerate: one head bigger than the budget still returns 1
+    assert head_chunk(7, 65536, 128) == 1
