@@ -103,7 +103,14 @@ def candidate_batch_blocks(bh: int, n_pad: int, d_pad: int) -> Tuple[int, ...]:
 
 def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
     """Time every legal blocking; returns blk_q > 0 for the sequence-gridded
-    kernel or -blk_b < 0 for the batch-gridded kernel."""
+    kernel or -blk_b < 0 for the batch-gridded kernel.
+
+    Candidates are CHAINED inside one program (``lax.scan`` feeding the
+    attention output back as the next query): a single kernel launch over
+    the remote tunnel costs ~0.4 ms while the kernels themselves run tens
+    of microseconds, so per-launch timing would rank candidates on launch
+    jitter, not kernel time. Chain length via MDET_AUTOTUNE_CHAIN
+    (default 16)."""
     import time
 
     import numpy as np
@@ -115,30 +122,39 @@ def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
         flash_attention,
     )
 
+    chain = max(1, int(os.environ.get("MDET_AUTOTUNE_CHAIN", "16")))
     rng = np.random.default_rng(0)
     shape = (1, bh, n_pad, d_pad)
     q = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
     k = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
     v = jnp.asarray(rng.standard_normal(shape).astype(np.float32), dtype)
 
+    def chained(attn):
+        def run(q, k, v):
+            def step(x, _):
+                return attn(x, k, v).astype(x.dtype), None
+            out, _ = jax.lax.scan(step, q, None, length=chain)
+            return out
+        return jax.jit(run)
+
     def time_fn(fn):
         out = fn(q, k, v)
         np.asarray(out.ravel()[0:1])
         t0 = time.perf_counter()
-        for _ in range(30):
+        for _ in range(10):
             out = fn(q, k, v)
         np.asarray(out.ravel()[0:1])
         return time.perf_counter() - t0
 
     best, best_t = None, float("inf")
     for blk in candidate_blocks(n_pad):
-        t = time_fn(jax.jit(
+        t = time_fn(chained(
             lambda q, k, v, blk=blk: flash_attention(q, k, v, blk_q=blk)
         ))
         if t < best_t:
             best, best_t = blk, t
     for bb in candidate_batch_blocks(bh, n_pad, d_pad):
-        t = time_fn(jax.jit(
+        t = time_fn(chained(
             lambda q, k, v, bb=bb: flash_attention(q, k, v, blk_b=bb)
         ))
         if t < best_t:
