@@ -1,0 +1,244 @@
+"""HTTP model serving — the production front door the reference never had.
+
+The reference's closest surfaces are the webcam/IP-cam viewers
+(``Depth_Pro/onnx2trt_webcam.py:191-197``); this module turns any
+registered pipeline into a network service. stdlib-only (no framework
+deps), designed around the TPU serving realities:
+
+  * ONE engine, compiled once at startup for a fixed input size — requests
+    are resized host-side so every device launch hits the cached program
+    (static shapes; no per-request recompiles).
+  * ONE device-worker thread owns the chip. HTTP handler threads only
+    decode, enqueue, and wait — the TPU runs requests back-to-back without
+    lock contention, and a bounded queue turns overload into fast 503s
+    instead of latency collapse (the FrameWorker discipline from
+    ``apps/streaming.py``, request/response-shaped).
+  * responses are ``.npz`` bytes (every array output of the pipeline, same
+    payload the CLI writes) or a turbo-colorized JPEG.
+
+Endpoints:
+  GET  /v1/health          -> {"model", "input_hw", "uptime_s", ...}
+  GET  /v1/stats           -> {"requests", "errors", "avg_ms", "p50_ms", ...}
+  POST /v1/depth           -> npz of all array outputs (depth, fov, ...)
+  POST /v1/depth?format=jpg -> colorized depth JPEG
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+
+class _Job:
+    __slots__ = ("frame", "viz", "done", "result", "error")
+
+    def __init__(self, frame: np.ndarray, viz: bool):
+        self.frame = frame
+        self.viz = viz
+        self.done = threading.Event()
+        self.result: Optional[Dict[str, Any]] = None
+        self.error: Optional[str] = None
+
+
+class DepthServer:
+    """Wraps a pipeline in a single-device-worker request queue.
+
+    ``pipeline`` is any registry pipeline (``pipe(frame, viz=...) -> dict``).
+    ``input_hw`` fixes the served resolution (requests are resized to it);
+    defaults to the pipeline spec's input size.
+    """
+
+    def __init__(self, pipeline, input_hw: Optional[Tuple[int, int]] = None,
+                 max_queue: int = 32, timeout_s: float = 30.0):
+        self.pipe = pipeline
+        hw = input_hw or tuple(pipeline.spec.input_hw)
+        self.input_hw = (int(hw[0]), int(hw[1]))
+        self.timeout_s = timeout_s
+        self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
+        self.started = time.time()
+        self.requests = 0
+        self.errors = 0
+        self.lat_ms: list = []  # device-side latency, rolling
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+
+    # -- device worker ----------------------------------------------------
+    def warmup(self) -> float:
+        """Compile + run once so the first request isn't a multi-minute
+        engine build. Returns seconds spent."""
+        t0 = time.time()
+        h, w = self.input_hw
+        self.pipe(np.zeros((h, w, 3), np.uint8), viz=True)
+        dt = time.time() - t0
+        log(f"server warmup: engine ready in {dt:.1f}s "
+            f"({self.pipe.spec.artifact_name()} @ {h}x{w})")
+        return dt
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                job = self.jobs.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            t0 = time.time()
+            try:
+                job.result = self.pipe(job.frame, viz=job.viz)
+            except Exception as e:  # surface as 500, keep serving
+                job.error = f"{type(e).__name__}: {e}"
+                with self._lock:
+                    self.errors += 1
+            dt = (time.time() - t0) * 1e3
+            with self._lock:
+                self.requests += 1
+                self.lat_ms.append(dt)
+                if len(self.lat_ms) > 1000:
+                    self.lat_ms = self.lat_ms[-1000:]
+            job.done.set()
+
+    def start(self) -> "DepthServer":
+        self._worker.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._worker.is_alive():
+            self._worker.join(timeout=2.0)
+
+    # -- request path -----------------------------------------------------
+    def submit(self, frame: np.ndarray, viz: bool) -> _Job:
+        import cv2
+
+        h, w = self.input_hw
+        if frame.shape[:2] != (h, w):
+            frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_AREA)
+        job = _Job(frame, viz)
+        self.jobs.put_nowait(job)  # queue.Full -> 503 upstream
+        return job
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            lat = list(self.lat_ms)
+            n, e = self.requests, self.errors
+        out = {"requests": n, "errors": e, "queue_depth": self.jobs.qsize()}
+        if lat:
+            out["avg_ms"] = round(float(np.mean(lat)), 2)
+            out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
+            out["p99_ms"] = round(float(np.percentile(lat, 99)), 2)
+        return out
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "ok",
+            "model": self.pipe.spec.artifact_name(),
+            "input_hw": list(self.input_hw),
+            "uptime_s": round(time.time() - self.started, 1),
+        }
+
+
+def _npz_bytes(out: Dict[str, Any]) -> bytes:
+    buf = io.BytesIO()
+    arrays = {
+        k: np.asarray(v)
+        for k, v in out.items()
+        if isinstance(v, (np.ndarray,)) or hasattr(v, "__array__")
+    }
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def make_handler(server: DepthServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through [MDET] logging
+            log(f"http {self.address_string()} {fmt % args}")
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj: Dict[str, Any]) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/v1/health":
+                return self._json(200, server.health())
+            if path == "/v1/stats":
+                return self._json(200, server.stats())
+            return self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            import cv2
+
+            url = urlparse(self.path)
+            if url.path != "/v1/depth":
+                return self._json(404, {"error": f"unknown path {url.path}"})
+            fmt = parse_qs(url.query).get("format", ["npz"])[0]
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length)
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    return self._json(400, {"error": "undecodable image"})
+                frame = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            except Exception as e:
+                return self._json(400, {"error": str(e)})
+
+            try:
+                job = server.submit(frame, viz=(fmt == "jpg"))
+            except queue.Full:
+                return self._json(503, {"error": "queue full", **server.stats()})
+            if not job.done.wait(server.timeout_s):
+                return self._json(504, {"error": "inference timeout"})
+            if job.error:
+                return self._json(500, {"error": job.error})
+
+            out = job.result
+            if fmt == "jpg":
+                viz = out.get("viz")
+                if viz is None:
+                    return self._json(400, {
+                        "error": "pipeline has no viz output; use format=npz"
+                    })
+                ok, enc = cv2.imencode(
+                    ".jpg", cv2.cvtColor(np.asarray(viz), cv2.COLOR_RGB2BGR))
+                return self._send(200, enc.tobytes(), "image/jpeg")
+            return self._send(200, _npz_bytes(out), "application/octet-stream")
+
+    return Handler
+
+
+def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
+          input_hw: Optional[Tuple[int, int]] = None,
+          max_queue: int = 32, warmup: bool = True) -> None:
+    """Blocking entry point for ``mdet serve``."""
+    ds = DepthServer(pipeline, input_hw=input_hw, max_queue=max_queue)
+    if warmup:
+        ds.warmup()
+    ds.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(ds))
+    log(f"serving {ds.pipe.spec.artifact_name()} on http://{host}:{port} "
+        f"(POST /v1/depth)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        ds.stop()

@@ -602,6 +602,24 @@ def cmd_slam(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP model serving (``apps/server.py``): one compiled engine, one
+    device-worker thread, bounded queue. Beyond the reference's local
+    viewers — its closest surface is the webcam app
+    (``Depth_Pro/onnx2trt_webcam.py``)."""
+    from monocular_depth_estimation_trt_tpu.apps.server import serve
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    if args.checkpoint:
+        kw["checkpoint"] = args.checkpoint
+    pipe = build_pipeline(args.model, **kw)
+    hw = (args.size, args.size) if args.size else None
+    serve(pipe, host=args.host, port=args.port, input_hw=hw,
+          max_queue=args.max_queue)
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Convert (and audit) a torch checkpoint without running the model.
 
@@ -808,6 +826,19 @@ def build_parser() -> argparse.ArgumentParser:
                       help="also write per-frame consistent video depth")
     slam.set_defaults(fn=cmd_slam)
 
+    serve = sub.add_parser(
+        "serve", help="HTTP depth serving (POST images to /v1/depth)")
+    serve.add_argument("model")
+    serve.add_argument("--encoder", default="")
+    serve.add_argument("--checkpoint", default="")
+    serve.add_argument("--host", default="0.0.0.0")
+    serve.add_argument("--port", type=int, default=8000)
+    serve.add_argument("--size", type=int, default=0,
+                       help="served square input size (default: model spec)")
+    serve.add_argument("--max-queue", type=int, default=32,
+                       dest="max_queue")
+    serve.set_defaults(fn=cmd_serve)
+
     convert = sub.add_parser(
         "convert",
         help="convert/audit a torch checkpoint (supports hf:org/repo/file)")
@@ -821,7 +852,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
-    for sp in (run, flow, video, webcam, track, pair, batch, views, slam):
+    for sp in (run, flow, video, webcam, track, pair, batch, views, slam,
+               serve):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

@@ -1,0 +1,171 @@
+"""HTTP serving (`apps/server.py`): protocol, queue discipline, errors.
+
+Runs against an injected fake pipeline (no device work) on an ephemeral
+port — the contract under test is the serving layer itself: request
+decode, worker-thread handoff, npz/jpg response encoding, health/stats,
+and overload -> 503 behavior.
+"""
+
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from monocular_depth_estimation_trt_tpu.apps.server import (
+    DepthServer,
+    make_handler,
+)
+from monocular_depth_estimation_trt_tpu.config import ModelSpec
+
+
+class FakePipeline:
+    def __init__(self, delay_s: float = 0.0, viz: bool = True):
+        self.spec = ModelSpec(model="fake", input_hw=(32, 48),
+                              precision="fp32")
+        self.delay_s = delay_s
+        self.viz = viz
+        self.calls = 0
+
+    def __call__(self, frame, viz=False):
+        self.calls += 1
+        if self.delay_s:
+            time.sleep(self.delay_s)
+        h, w = frame.shape[:2]
+        out = {"depth": frame[..., 0].astype(np.float32) + 1.0,
+               "scalar": np.float32(3.5)}
+        if viz and self.viz:
+            out["viz"] = np.repeat(frame[..., :1], 3, axis=-1)
+        return out
+
+
+@pytest.fixture
+def server_factory():
+    servers = []
+
+    def make(pipe, **kw):
+        ds = DepthServer(pipe, **kw).start()
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(ds))
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        servers.append((httpd, ds))
+        return f"http://127.0.0.1:{httpd.server_address[1]}", ds
+
+    yield make
+    for httpd, ds in servers:
+        httpd.shutdown()
+        httpd.server_close()
+        ds.stop()
+
+
+def _png_bytes(h=32, w=48, seed=0) -> bytes:
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".png", img)
+    assert ok
+    return enc.tobytes()
+
+
+def _post(url, body, timeout=10):
+    req = urllib.request.Request(url, data=body, method="POST")
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def test_depth_npz_roundtrip(server_factory):
+    base, ds = server_factory(FakePipeline())
+    resp = _post(f"{base}/v1/depth", _png_bytes())
+    assert resp.status == 200
+    data = np.load(io.BytesIO(resp.read()))
+    assert data["depth"].shape == (32, 48)  # resized to the served hw
+    assert float(data["scalar"]) == 3.5
+    assert np.all(data["depth"] >= 1.0)
+
+
+def test_resize_to_served_resolution(server_factory):
+    base, _ = server_factory(FakePipeline(), input_hw=(64, 64))
+    resp = _post(f"{base}/v1/depth", _png_bytes(h=100, w=200))
+    assert np.load(io.BytesIO(resp.read()))["depth"].shape == (64, 64)
+
+
+def test_jpg_format(server_factory):
+    import cv2
+
+    base, _ = server_factory(FakePipeline())
+    resp = _post(f"{base}/v1/depth?format=jpg", _png_bytes())
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    img = cv2.imdecode(np.frombuffer(resp.read(), np.uint8),
+                       cv2.IMREAD_COLOR)
+    assert img.shape == (32, 48, 3)
+
+
+def test_health_and_stats(server_factory):
+    base, _ = server_factory(FakePipeline())
+    h = json.load(urllib.request.urlopen(f"{base}/v1/health", timeout=10))
+    assert h["status"] == "ok" and h["input_hw"] == [32, 48]
+    _post(f"{base}/v1/depth", _png_bytes())
+    s = json.load(urllib.request.urlopen(f"{base}/v1/stats", timeout=10))
+    assert s["requests"] >= 1 and "p50_ms" in s
+
+
+def test_bad_image_400_and_unknown_404(server_factory):
+    base, _ = server_factory(FakePipeline())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/depth", b"not an image")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/v1/nope", timeout=10)
+    assert e.value.code == 404
+
+
+def test_pipeline_error_becomes_500(server_factory):
+    class Boom(FakePipeline):
+        def __call__(self, frame, viz=False):
+            raise RuntimeError("device on fire")
+
+    base, ds = server_factory(Boom())
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{base}/v1/depth", _png_bytes())
+    assert e.value.code == 500
+    assert "device on fire" in e.value.read().decode()
+    # server keeps serving after an error
+    assert json.load(
+        urllib.request.urlopen(f"{base}/v1/health", timeout=10)
+    )["status"] == "ok"
+
+
+def test_overload_503(server_factory):
+    base, ds = server_factory(FakePipeline(delay_s=0.5), max_queue=1)
+    results = []
+
+    def fire(seed):
+        try:
+            results.append(_post(f"{base}/v1/depth", _png_bytes(seed=seed),
+                                 timeout=30).status)
+        except urllib.error.HTTPError as e:
+            results.append(e.code)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert 503 in results, results  # overload rejected fast
+    assert 200 in results, results  # while admitted work completes
+
+
+def test_cli_serve_parser():
+    from monocular_depth_estimation_trt_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["serve", "depth_anything_v2", "--encoder", "vits",
+                      "--port", "9000", "--size", "518"])
+    assert a.fn.__name__ == "cmd_serve"
+    assert a.port == 9000 and a.size == 518 and a.max_queue == 32
