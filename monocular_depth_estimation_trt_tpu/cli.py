@@ -620,6 +620,97 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_distill(args) -> int:
+    """Teacher→student depth distillation on an image directory.
+
+    Beyond the reference (inference-only): a frozen teacher pipeline
+    generates disparity pseudo-labels and a student of the same family
+    fine-tunes against them with the SSI + gradient-matching objective
+    (``training/``). The trained student params are saved as an orbax tree;
+    ``--promote`` additionally installs them in the weights cache under the
+    student's artifact name so ``mdet run`` serves them directly."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.config import IMAGENET_MEAN, IMAGENET_STD
+    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
+        DepthAnythingV2,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
+    from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+        normalize,
+        to_float_rgb,
+    )
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.training import (
+        distill,
+        save_train_state,
+    )
+    from monocular_depth_estimation_trt_tpu.utils.files import list_images
+    from monocular_depth_estimation_trt_tpu.weights.store import save_params
+
+    size = args.size - args.size % 14  # ViT patch grid
+    paths = list_images(args.images_dir)
+    if not paths:
+        log(f"no images found in {args.images_dir}", tag="ERROR")
+        return 1
+    frames = []
+    for p in paths:
+        img = _load_image(p)
+        frames.append(cv2.resize(img, (size, size)))
+    frames = np.stack(frames)
+    log(f"distilling from {len(frames)} images @ {size}x{size}")
+
+    teacher = build_pipeline(args.teacher,
+                             **({"encoder": args.teacher_encoder}
+                                if args.teacher_encoder else {}))
+
+    def teacher_fn(imgs_u8):
+        return teacher.batch_call(np.asarray(imgs_u8))["depth"]
+
+    # Student starts from its served (converted) params of the same family.
+    student_pipe = build_pipeline(args.student, encoder=args.student_encoder)
+    student_model = DepthAnythingV2(
+        encoder=args.student_encoder, dtype=jnp.float32, attn_impl="auto"
+    )
+
+    def student_apply(params, imgs_u8):
+        x = to_float_rgb(imgs_u8)
+        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)
+        depth = student_model.apply({"params": params}, x)
+        return upsample_depth(depth, (size, size))
+
+    def batches():
+        for i in range(0, len(frames), args.batch):
+            chunk = frames[i : i + args.batch]
+            if len(chunk) == args.batch:  # static shapes for one engine
+                yield chunk
+
+    state, history = distill(
+        teacher_fn,
+        student_apply,
+        student_pipe.params,
+        batches(),
+        steps=args.steps,
+        learning_rate=args.lr,
+        accum_steps=args.accum_steps,
+    )
+    log(f"distillation done: loss {history[0]:.4f} -> {history[-1]:.4f}")
+
+    os.makedirs(args.out, exist_ok=True)
+    ckpt = os.path.join(os.path.abspath(args.out),
+                        f"distill_{args.student}_{args.student_encoder}")
+    save_train_state(ckpt, state)
+    if args.promote:
+        name = student_pipe.spec.artifact_name()
+        save_params(name, jax.device_get(state.params))
+        log(f"promoted distilled params into the weights cache as {name!r}; "
+            f"`mdet run --model {args.student} --encoder "
+            f"{args.student_encoder}` now serves them")
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Convert (and audit) a torch checkpoint without running the model.
 
@@ -849,6 +940,27 @@ def build_parser() -> argparse.ArgumentParser:
                          help="print the consumed/unconsumed key audit and "
                          "write nothing")
     convert.set_defaults(fn=cmd_convert)
+
+    dist = sub.add_parser(
+        "distill",
+        help="teacher→student depth distillation on an image directory "
+        "(training subsystem; beyond the inference-only reference)")
+    dist.add_argument("--teacher", default="depth_anything_v2")
+    dist.add_argument("--teacher-encoder", default="vitl")
+    dist.add_argument("--student", default="depth_anything_v2")
+    dist.add_argument("--student-encoder", default="vits")
+    dist.add_argument("--images-dir", required=True)
+    dist.add_argument("--size", type=int, default=266,
+                      help="training resolution (rounded down to /14)")
+    dist.add_argument("--batch", type=int, default=4)
+    dist.add_argument("--steps", type=int, default=200)
+    dist.add_argument("--lr", type=float, default=3e-4)
+    dist.add_argument("--accum-steps", type=int, default=1)
+    dist.add_argument("--out", default="results/distill")
+    dist.add_argument("--promote", action="store_true",
+                      help="install the distilled params in the weights "
+                      "cache under the student's artifact name")
+    dist.set_defaults(fn=cmd_distill)
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)

@@ -1,0 +1,84 @@
+"""`mdet distill` end-to-end: teacher→student training from the CLI.
+
+Runs the real command path (image loading, teacher pseudo-labels via
+batch_call, student train steps, orbax train-state artifact) with the
+DA-V2 class swapped for a tiny config so the whole loop fits a CPU test.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_images(tmp_path, n=3, hw=(40, 48)):
+    import cv2
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        cv2.imwrite(str(d / f"f{i}.png"),
+                    rng.integers(0, 255, (*hw, 3), dtype=np.uint8))
+    return str(d)
+
+
+@pytest.fixture
+def tiny_da(monkeypatch):
+    """Swap DepthAnythingV2 for a 2-block/64-dim config everywhere it is
+    imported at call time (cli.cmd_distill and registry._build_da_family)."""
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(
+            vit_config=cfg,
+            head_features=16,
+            head_out_channels=(8, 16, 32, 32),
+            out_indices=(0, 1, 0, 1),
+        )
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    return tiny
+
+
+@pytest.mark.slow
+def test_cli_distill_end_to_end(tmp_path, monkeypatch, tiny_da):
+    from monocular_depth_estimation_trt_tpu import cli
+
+    images = _write_images(tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "distill",
+        "--teacher", "depth_anything_v2", "--teacher-encoder", "vits",
+        "--student", "depth_anything_v2", "--student-encoder", "vits",
+        "--images-dir", images,
+        "--size", "56", "--batch", "2", "--steps", "3", "--lr", "1e-3",
+        "--out", out,
+    ])
+    assert rc == 0
+    ckpts = [p for p in os.listdir(out) if p.startswith("distill_")]
+    assert ckpts, os.listdir(out)
+
+    # The artifact is a restorable TrainState that resumes at step 3.
+    import jax.numpy as jnp
+    import optax
+
+    from monocular_depth_estimation_trt_tpu.training import (
+        create_train_state,
+        load_train_state,
+    )
+
+    model = tiny_da(dtype=jnp.float32)
+    params = model.init(
+        __import__("jax").random.PRNGKey(0), jnp.zeros((1, 56, 56, 3))
+    )["params"]
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, warmup_steps=10,
+                                               decay_steps=11)
+    like = create_train_state(params, optax.adamw(sched, weight_decay=1e-4))
+    st = load_train_state(os.path.join(out, ckpts[0]), like)
+    assert int(st.step) == 3
