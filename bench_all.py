@@ -65,6 +65,9 @@ SUITE = [
 BATCHED_SUITE = [
     ("depth_anything_v2", {"encoder": "vits"}, (518, 518), 8),
     ("depth_anything_ac", {"encoder": "vits"}, (518, 518), 8),
+    # ViT-L: the compute-bound end — batching amortizes weight reads and
+    # fills the MXU; contrast with the HBM-bound vits plateau (docs/PERF.md)
+    ("depth_anything_v2", {"encoder": "vitl"}, (518, 518), 4),
 ]
 
 # VGGT multi-view rows: the S axis the reference could not export

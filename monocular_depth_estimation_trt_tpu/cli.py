@@ -711,6 +711,69 @@ def cmd_distill(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evaluate predictions against ground truth with the standard metric
+    suites (``training/metrics.py``): AbsRel/RMSE/SiLog/δ-thresholds for
+    depth (optionally affine- or median-aligned — the relative-depth
+    protocols), EPE/n-px for flow. Replaces the reference's eyeball
+    ``[MDET] max/min`` validation with numbers."""
+    import json
+
+    import numpy as np
+
+    def load_many(path, key):
+        if os.path.isdir(path):
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".npz") or
+                f.endswith(".npy")
+            )
+            return {os.path.splitext(f)[0]: _load_arr(os.path.join(path, f), key)
+                    for f in files}
+        return {os.path.splitext(os.path.basename(path))[0]:
+                _load_arr(path, key)}
+
+    def _load_arr(p, key):
+        if p.endswith(".npy"):
+            return np.load(p)
+        z = np.load(p)
+        if key in z:
+            return z[key]
+        return z[list(z.files)[0]]
+
+    preds = load_many(args.pred, args.key)
+    gts = load_many(args.gt, args.key)
+    if len(preds) == 1 and len(gts) == 1:
+        pairs = [(next(iter(preds.values())), next(iter(gts.values())))]
+    else:
+        common = sorted(set(preds) & set(gts))
+        if not common:
+            log("no matching prediction/ground-truth stems", tag="ERROR")
+            return 1
+        pairs = [(preds[k], gts[k]) for k in common]
+
+    from monocular_depth_estimation_trt_tpu.training.metrics import (
+        depth_metrics,
+        flow_metrics,
+    )
+
+    sums: dict = {}
+    for pred, gt in pairs:
+        pred, gt = np.asarray(pred), np.asarray(gt)
+        if pred.ndim == 2:
+            pred, gt = pred[None], gt[None]
+        if args.flow:
+            m = flow_metrics(pred, gt)
+        else:
+            m = depth_metrics(pred, gt, align=args.align)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    out = {k: round(v / len(pairs), 5) for k, v in sums.items()}
+    out["n_images"] = len(pairs)
+    out["align"] = args.align if not args.flow else None
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Convert (and audit) a torch checkpoint without running the model.
 
@@ -961,6 +1024,22 @@ def build_parser() -> argparse.ArgumentParser:
                       help="install the distilled params in the weights "
                       "cache under the student's artifact name")
     dist.set_defaults(fn=cmd_distill)
+
+    ev = sub.add_parser(
+        "eval",
+        help="depth/flow metrics between prediction and ground-truth "
+        "npz/npy files or directories")
+    ev.add_argument("--pred", required=True)
+    ev.add_argument("--gt", required=True)
+    ev.add_argument("--key", default="depth",
+                    help="array key inside npz files (default: depth)")
+    ev.add_argument("--align", default="none",
+                    choices=["none", "affine", "median"],
+                    help="per-image alignment before scoring (relative-"
+                    "depth protocols)")
+    ev.add_argument("--flow", action="store_true",
+                    help="score (H,W,2) flow fields with EPE/n-px instead")
+    ev.set_defaults(fn=cmd_eval)
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)

@@ -25,13 +25,19 @@ from monocular_depth_estimation_trt_tpu.training.distill import (
     distill,
     make_distill_step,
 )
+from monocular_depth_estimation_trt_tpu.training.metrics import (
+    depth_metrics,
+    flow_metrics,
+)
 
 __all__ = [
     "TrainState",
     "align_scale_shift",
     "create_train_state",
+    "depth_metrics",
     "distill",
     "distillation_loss",
+    "flow_metrics",
     "gradient_matching_loss",
     "load_train_state",
     "make_distill_step",
