@@ -652,8 +652,9 @@ def cmd_distill(args) -> int:
 
     size = args.size - args.size % 14  # ViT patch grid
     paths = list_images(args.images_dir)
-    if not paths:
-        log(f"no images found in {args.images_dir}", tag="ERROR")
+    if len(paths) < args.batch:
+        log(f"need at least --batch={args.batch} images in "
+            f"{args.images_dir}; found {len(paths)}", tag="ERROR")
         return 1
     frames = []
     for p in paths:
@@ -1010,7 +1011,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(training subsystem; beyond the inference-only reference)")
     dist.add_argument("--teacher", default="depth_anything_v2")
     dist.add_argument("--teacher-encoder", default="vitl")
-    dist.add_argument("--student", default="depth_anything_v2")
+    dist.add_argument("--student", default="depth_anything_v2",
+                      help="student registry name; must be a DA-V2-family "
+                      "serving graph (depth_anything_v2 / "
+                      "distill_any_depth / depth_anything_ac / bridge)")
     dist.add_argument("--student-encoder", default="vits")
     dist.add_argument("--images-dir", required=True)
     dist.add_argument("--size", type=int, default=266,

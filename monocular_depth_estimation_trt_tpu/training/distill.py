@@ -87,21 +87,25 @@ def distill(
     )
 
     def cycle(src):
-        # Cache items on the first pass only, then loop the cache.
+        # Cache items on the first pass only, then loop the cache; yields
+        # (position, item) so teacher labels memoize per batch position.
         seen = []
         for item in src:
             seen.append(item)
-            yield item
+            yield len(seen) - 1, item
         if not seen:
             raise ValueError("batches iterator was empty")
         while True:
-            yield from seen
+            yield from enumerate(seen)
 
     history = []
+    teacher_cache: dict = {}
     it = cycle(iter(batches))
     for i in range(steps):
-        imgs = next(it)
-        teacher = np.asarray(teacher_fn(imgs))
+        pos, imgs = next(it)
+        if pos not in teacher_cache:  # frozen teacher: label each batch once
+            teacher_cache[pos] = np.asarray(teacher_fn(imgs))
+        teacher = teacher_cache[pos]
         state, metrics = step_fn(state, (jnp.asarray(imgs), jnp.asarray(teacher)))
         loss = float(metrics["loss"])
         history.append(loss)
