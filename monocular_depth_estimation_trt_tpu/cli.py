@@ -650,18 +650,30 @@ def cmd_distill(args) -> int:
     from monocular_depth_estimation_trt_tpu.utils.files import list_images
     from monocular_depth_estimation_trt_tpu.weights.store import save_params
 
+    if args.steps < 1:
+        log("--steps must be >= 1", tag="ERROR")
+        return 1
     size = args.size - args.size % 14  # ViT patch grid
     paths = list_images(args.images_dir)
     if len(paths) < args.batch:
         log(f"need at least --batch={args.batch} images in "
             f"{args.images_dir}; found {len(paths)}", tag="ERROR")
         return 1
+    if len(paths) > args.max_images:
+        # frames + fp32 teacher labels are held in RAM for the run; cap it
+        log(f"capping at --max-images={args.max_images} of {len(paths)} "
+            f"images (raise the flag to use more)", tag="WARN")
+        paths = paths[: args.max_images]
+    tail = len(paths) % args.batch
+    if tail:
+        log(f"dropping {tail} tail image(s) that don't fill a "
+            f"--batch={args.batch} chunk (static shapes, one engine)")
     frames = []
     for p in paths:
         img = _load_image(p)
         frames.append(cv2.resize(img, (size, size)))
     frames = np.stack(frames)
-    log(f"distilling from {len(frames)} images @ {size}x{size}")
+    log(f"distilling from {len(frames) - tail} images @ {size}x{size}")
 
     teacher = build_pipeline(args.teacher,
                              **({"encoder": args.teacher_encoder}
@@ -671,16 +683,21 @@ def cmd_distill(args) -> int:
         return teacher.batch_call(np.asarray(imgs_u8))["depth"]
 
     # Student starts from its served (converted) params of the same family.
+    # attn_impl is pinned to XLA for the training graph: the Pallas flash
+    # kernel has no custom_vjp, so value_and_grad through it would fail for
+    # the head/sequence shapes "auto" routes to flash on TPU.
     student_pipe = build_pipeline(args.student, encoder=args.student_encoder)
     student_model = DepthAnythingV2(
-        encoder=args.student_encoder, dtype=jnp.float32, attn_impl="auto"
+        encoder=args.student_encoder, dtype=jnp.float32, attn_impl="xla"
     )
 
     def student_apply(params, imgs_u8):
         x = to_float_rgb(imgs_u8)
         x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)
         depth = student_model.apply({"params": params}, x)
-        return upsample_depth(depth, (size, size))
+        # clamp=None: the serving clamp's zero gradient outside (1e-3, 1e3)
+        # would freeze sky/far pixels during training
+        return upsample_depth(depth, (size, size), clamp=None)
 
     def batches():
         for i in range(0, len(frames), args.batch):
@@ -704,7 +721,20 @@ def cmd_distill(args) -> int:
                         f"distill_{args.student}_{args.student_encoder}")
     save_train_state(ckpt, state)
     if args.promote:
+        import shutil
+
+        from monocular_depth_estimation_trt_tpu.weights.store import _params_dir
+
         name = student_pipe.spec.artifact_name()
+        existing = _params_dir(name)
+        if os.path.isdir(existing):
+            # never clobber the converted pretrained cache irreversibly
+            bak = existing + ".pre-distill-bak"
+            if os.path.isdir(bak):
+                shutil.rmtree(bak)
+            shutil.move(existing, bak)
+            log(f"previous params cached at {bak} (move it back to undo "
+                f"the promotion)")
         save_params(name, jax.device_get(state.params))
         log(f"promoted distilled params into the weights cache as {name!r}; "
             f"`mdet run --model {args.student} --encoder "
@@ -720,7 +750,13 @@ def cmd_eval(args) -> int:
     ``[MDET] max/min`` validation with numbers."""
     import json
 
+    import jax
     import numpy as np
+
+    # Host-side arithmetic only — keep it off the remote TPU tunnel, where
+    # eager (non-jit) ops cost seconds each (CLAUDE.md; same policy as
+    # cmd_convert).
+    jax.config.update("jax_platforms", "cpu")
 
     def load_many(path, key):
         if os.path.isdir(path):
@@ -1023,6 +1059,9 @@ def build_parser() -> argparse.ArgumentParser:
     dist.add_argument("--steps", type=int, default=200)
     dist.add_argument("--lr", type=float, default=3e-4)
     dist.add_argument("--accum-steps", type=int, default=1)
+    dist.add_argument("--max-images", type=int, default=2048,
+                      help="cap on images held in RAM (frames + teacher "
+                      "labels are resident for the run)")
     dist.add_argument("--out", default="results/distill")
     dist.add_argument("--promote", action="store_true",
                       help="install the distilled params in the weights "
@@ -1048,7 +1087,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
     for sp in (run, flow, video, webcam, track, pair, batch, views, slam,
-               serve):
+               serve, dist):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

@@ -47,6 +47,34 @@ def tiny_da(monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_distill_promote_backs_up_cache(tmp_path, monkeypatch, tiny_da):
+    """--promote installs distilled params in the weights cache and moves an
+    existing entry aside instead of clobbering it."""
+    import numpy as np
+
+    from monocular_depth_estimation_trt_tpu import cli
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        _params_dir,
+        save_params,
+    )
+
+    monkeypatch.setenv("MDET_CACHE_DIR", str(tmp_path / "cache"))
+    name = "depth_anything_v2_vits_518x518_bf16"
+    save_params(name, {"seed_marker": np.zeros(2, np.float32)})
+
+    images = _write_images(tmp_path, n=2)
+    rc = cli.main([
+        "distill", "--teacher-encoder", "vits", "--student-encoder", "vits",
+        "--images-dir", images, "--size", "56", "--batch", "2",
+        "--steps", "1", "--out", str(tmp_path / "out"), "--promote",
+    ])
+    assert rc == 0
+    assert os.path.isdir(_params_dir(name))
+    bak = _params_dir(name) + ".pre-distill-bak"
+    assert os.path.isdir(bak)  # the pre-existing entry was preserved
+
+
+@pytest.mark.slow
 def test_cli_distill_end_to_end(tmp_path, monkeypatch, tiny_da):
     from monocular_depth_estimation_trt_tpu import cli
 
