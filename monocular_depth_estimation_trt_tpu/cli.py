@@ -111,6 +111,8 @@ def cmd_run(args) -> int:
         kw["dataset"] = args.dataset
     if args.checkpoint:
         kw["checkpoint"] = args.checkpoint
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
 
@@ -300,6 +302,8 @@ def cmd_bench(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     kw = {"encoder": args.encoder} if args.encoder else {}
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
     cfg = BenchmarkConfig(warmup=args.warmup, iterations=args.iterations)
@@ -887,6 +891,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--metric", action="store_true")
     run.add_argument("--dataset", default="hypersim")
     run.add_argument("--checkpoint", default="")
+    run.add_argument("--precision", default="",
+                     choices=["", "bf16", "fp16", "fp32", "int8"],
+                     help="compute precision; int8 = statically-calibrated "
+                     "w8a8 encoder serving (DA family)")
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")
@@ -926,6 +934,8 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="benchmark a model config")
     bench.add_argument("model")
     bench.add_argument("--encoder", default="")
+    bench.add_argument("--precision", default="",
+                       choices=["", "bf16", "fp16", "fp32", "int8"])
     bench.add_argument("--size", type=int, default=518)
     bench.add_argument("--warmup", type=int, default=10)
     bench.add_argument("--iterations", type=int, default=100)

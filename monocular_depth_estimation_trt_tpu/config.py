@@ -21,7 +21,7 @@ from typing import Any, Mapping, Optional, Tuple
 # Precision names: the reference builds fp16 TRT engines; on TPU the native
 # fast dtype is bfloat16. "fp16" is accepted as an alias that maps to bf16
 # compute unless the user explicitly forces float16.
-_PRECISIONS = ("fp32", "bf16", "fp16")
+_PRECISIONS = ("fp32", "bf16", "fp16", "int8")  # int8 = w8a8 encoder serving
 
 
 @dataclasses.dataclass(frozen=True)

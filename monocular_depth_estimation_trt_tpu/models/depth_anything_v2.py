@@ -46,6 +46,9 @@ class DepthAnythingV2(nn.Module):
     max_depth: float = 20.0
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 encoder serving (ops/quant.py): "none" | "calib" | "serve".
+    # The DPT head stays bf16 (conv-dominated, small fraction of FLOPs).
+    quant: str = "none"
     # Optional explicit overrides (tests / non-preset variants); None -> the
     # encoder presets above.
     vit_config: Any = None
@@ -67,6 +70,7 @@ class DepthAnythingV2(nn.Module):
             out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="pretrained",
         )(x)
 

@@ -106,15 +106,19 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"  # "auto" | "flash" | "xla"
+    quant: str = "none"  # "none" | "calib" | "serve" (ops/quant.py w8a8)
 
     @nn.compact
     def __call__(self, x: jax.Array, rope=None) -> jax.Array:
         """``rope``: optional ((cos, sin), num_prefix) — rotary tables for the
         trailing patch tokens; the ``num_prefix`` leading tokens (cls +
         registers) stay unrotated."""
+        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
+
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = make_dense(self.quant, self.dim * 3, use_bias=self.qkv_bias,
+                         dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, N, H, d) each
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, d)
@@ -161,19 +165,25 @@ class Attention(nn.Module):
 
             o = attention_reference(q, k, v)
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(o)
+        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
+
+        return make_dense(self.quant, self.dim, use_bias=True,
+                          dtype=self.dtype, name="proj")(o)
 
 
 class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
+
+        x = make_dense(self.quant, self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return make_dense(self.quant, self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class SwiGLU(nn.Module):
@@ -182,12 +192,17 @@ class SwiGLU(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name="w12")(x)
+        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
+
+        x12 = make_dense(self.quant, 2 * self.hidden, dtype=self.dtype,
+                         name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype, name="w3")(nn.silu(x1) * x2)
+        return make_dense(self.quant, self.dim, dtype=self.dtype,
+                          name="w3")(nn.silu(x1) * x2)
 
 
 class LayerScale(nn.Module):
@@ -205,6 +220,7 @@ class Block(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, rope=None) -> jax.Array:
@@ -217,16 +233,19 @@ class Block(nn.Module):
             c.qkv_bias,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attn",
         )(h, rope=rope)
         x = x + LayerScale(c.dim, c.layerscale_init, dtype=self.dtype, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         if c.ffn == "swiglu":
             h = SwiGLU(
-                c.dim, swiglu_hidden(c.dim, c.mlp_ratio), dtype=self.dtype, name="mlp"
+                c.dim, swiglu_hidden(c.dim, c.mlp_ratio), dtype=self.dtype,
+                quant=self.quant, name="mlp"
             )(h)
         else:
-            h = Mlp(c.dim, int(c.dim * c.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+            h = Mlp(c.dim, int(c.dim * c.mlp_ratio), dtype=self.dtype,
+                    quant=self.quant, name="mlp")(h)
         x = x + LayerScale(c.dim, c.layerscale_init, dtype=self.dtype, name="ls2")(h)
         return x
 
@@ -245,6 +264,9 @@ class DinoViT(nn.Module):
     out_indices: Sequence[int] = ()
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving mode for the transformer Dense layers (ops/quant.py):
+    # "none" | "calib" (bf16 compute + absmax stats) | "serve" (int8 MXU)
+    quant: str = "none"
     # apply the final LayerNorm to intermediate taps (DINOv2
     # get_intermediate_layers(norm=True)); Depth Pro hooks raw activations
     norm_out: bool = True
@@ -311,7 +333,8 @@ class DinoViT(nn.Module):
 
         saved = {}
         for i in range(c.depth):
-            x = Block(c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}")(x, rope=rope)
+            x = Block(c, dtype=self.dtype, attn_impl=self.attn_impl,
+                      quant=self.quant, name=f"blocks_{i}")(x, rope=rope)
             if i in want:
                 use_norm = self.norm_out and i not in self.raw_indices
                 y = final_norm(x) if use_norm else x

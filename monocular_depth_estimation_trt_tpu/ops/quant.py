@@ -1,0 +1,209 @@
+"""Int8 (w8a8) quantized serving for ViT encoders — static calibration.
+
+Beyond the reference: its TRT engines are fp16-only (every build script
+passes ``--fp16``-equivalent flags and no INT8 calibrator exists anywhere
+in ``/root/reference``). On v5e the int8 MXU has 2× the bf16 TOPS, so the
+compute-bound ViT-L-class models can serve faster — IF the quantization
+epilogue stays off the critical path. docs/PERF.md's round-3 measurement
+showed dynamic per-token activation scales give back most of the 2×
+(+25% net); this module implements the *static* calibration design it
+recommended: per-layer activation scales baked at build time (one
+multiply, no per-token reduce) and weights pre-quantized per-output-channel
+OUTSIDE the serving graph.
+
+Param-tree compatibility is the design constraint: ``QuantDense`` exposes
+the exact ``kernel``/``bias`` parameters of ``nn.Dense``, so every
+existing torch→flax converter and orbax cache works unchanged. The int8
+artifacts (``kernel_q``, ``w_scale``, ``in_scale``) live in a separate
+``q8`` flax collection built by :func:`build_q8` from a one-off
+calibration pass (``quant_stats`` sown absmax per layer).
+
+Accuracy: per-output-channel weight scales + per-layer activation scales
+is the standard w8a8 PTQ recipe (SmoothQuant-class without migration);
+``mdet eval``'s δ1/AbsRel metrics quantify the residual error against the
+bf16 graph (gated in ``tests/test_quant.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_QMAX = 127.0
+
+
+class QuantDense(nn.Module):
+    """Drop-in ``nn.Dense`` with an int8 serving path.
+
+    modes:
+      * ``calib`` — compute in ``dtype`` exactly like ``nn.Dense`` while
+        sowing the running absmax of the input into the ``quant_stats``
+        collection (reduced with max across calls/batches);
+      * ``serve`` — static-scale int8: ``x → round(x/s_in) ∈ int8``,
+        int8×int8 ``dot_general`` accumulating in int32 on the MXU, one
+        fused rescale ``int32 → f32 × (s_in·s_w)`` epilogue.
+
+    The ``kernel``/``bias`` params match ``nn.Dense`` exactly (converter/
+    cache compatible); int8 weights + scales come from the ``q8``
+    collection (see :func:`build_q8`).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    mode: str = "serve"  # "calib" | "serve"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        if self.mode == "calib":
+            self.sow(
+                "quant_stats",
+                "absmax",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+            )
+            y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        else:
+            in_scale = self.variable(
+                "q8", "in_scale", lambda: jnp.ones((), jnp.float32)
+            ).value
+            kernel_q = self.variable(
+                "q8",
+                "kernel_q",
+                lambda: jnp.zeros((d_in, self.features), jnp.int8),
+            ).value
+            w_scale = self.variable(
+                "q8", "w_scale", lambda: jnp.ones((self.features,), jnp.float32)
+            ).value
+            x_q = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / in_scale)),
+                -_QMAX,
+                _QMAX,
+            ).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x_q,
+                kernel_q,
+                (((x_q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (in_scale * w_scale)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y.astype(self.dtype)
+
+
+def make_dense(quant: str, features: int, *, use_bias: bool = True,
+               dtype: Any = jnp.bfloat16, name: str):
+    """Dense factory: ``quant`` "none" → ``nn.Dense``; "calib"/"serve" →
+    :class:`QuantDense` in that mode."""
+    if quant == "none":
+        return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return QuantDense(
+        features, use_bias=use_bias, dtype=dtype, mode=quant, name=name
+    )
+
+
+def quantize_weight(kernel: jax.Array):
+    """Per-output-channel symmetric int8: returns (kernel_q, w_scale)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(k), axis=0), 1e-8) / _QMAX
+    kernel_q = jnp.clip(jnp.round(k / w_scale[None, :]), -_QMAX, _QMAX).astype(
+        jnp.int8
+    )
+    return kernel_q, w_scale
+
+
+def calibrate(model, variables: Dict, *sample_inputs) -> Dict:
+    """Run the model (built with ``quant="calib"``) over sample inputs and
+    return the merged ``quant_stats`` absmax tree. The apply is jitted —
+    eager ops over a remote device link cost seconds each."""
+    run = jax.jit(
+        lambda v, *a: model.apply(v, *a, mutable=["quant_stats"])[1][
+            "quant_stats"
+        ]
+    )
+    stats: Optional[Dict] = None
+    for inp in sample_inputs:
+        args = inp if isinstance(inp, tuple) else (inp,)
+        cur = run(variables, *args)
+        stats = (
+            cur
+            if stats is None
+            else jax.tree_util.tree_map(jnp.maximum, stats, cur)
+        )
+    return stats
+
+
+def build_q8(q8_struct: Dict, params: Dict, stats: Dict) -> Dict:
+    """Fill a ``q8`` collection from params + calibration stats.
+
+    ``q8_struct``: the structure from ``model.init`` (serve mode) — a tree
+    whose QuantDense leaves hold ``{in_scale, kernel_q, w_scale}``;
+    ``params``/``stats`` are indexed by the same module paths. absmax==0
+    (layer never fired during calibration) falls back to scale 1.
+    """
+
+    def walk(qnode: Dict, pnode: Dict, snode: Dict) -> Dict:
+        if "kernel_q" in qnode:  # a QuantDense leaf group
+            kernel_q, w_scale = quantize_weight(pnode["kernel"])
+            absmax = jnp.asarray(snode["absmax"], jnp.float32).reshape(())
+            in_scale = jnp.where(absmax > 0, absmax / _QMAX, 1.0)
+            return {
+                "in_scale": in_scale,
+                "kernel_q": kernel_q,
+                "w_scale": w_scale,
+            }
+        out = {}
+        for key, sub in qnode.items():
+            # flax sow appends to a tuple; unwrap single-entry tuples
+            snext = snode.get(key, {}) if isinstance(snode, dict) else {}
+            if isinstance(snext, tuple):
+                snext = snext[0] if len(snext) == 1 else snext
+            out[key] = walk(sub, pnode[key], snext)
+        return out
+
+    def unwrap(node):
+        if isinstance(node, tuple):
+            return node[0] if len(node) == 1 else node
+        if isinstance(node, dict):
+            return {k: unwrap(v) for k, v in node.items()}
+        return node
+
+    return walk(q8_struct, params, unwrap(stats))
+
+
+def quantize_vit_pipeline(model_calib, model_serve, params, sample_batch):
+    """One-call calibration: returns the ``q8`` collection for
+    ``model_serve.apply({"params": params, "q8": q8}, x)``.
+
+    ``model_calib``/``model_serve`` are the same architecture built with
+    ``quant="calib"`` / ``quant="serve"``; ``sample_batch`` is one or more
+    preprocessed input batches (tuple → multiple).
+    """
+    stats = calibrate(
+        model_calib,
+        {"params": params},
+        *(sample_batch if isinstance(sample_batch, tuple) else (sample_batch,)),
+    )
+    q8_struct = jax.eval_shape(
+        model_serve.init,
+        jax.random.PRNGKey(0),
+        (sample_batch[0] if isinstance(sample_batch, tuple) else sample_batch),
+    )["q8"]
+    q8_zero = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), q8_struct
+    )
+    return build_q8(q8_zero, params, stats)

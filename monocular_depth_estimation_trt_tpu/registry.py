@@ -12,6 +12,7 @@ converter, and postprocess into a :class:`~pipelines.DepthPipeline`.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Callable, Dict, Optional
 
@@ -74,6 +75,36 @@ def build_pipeline(name: str, **kwargs) -> DepthPipeline:
 # ---------------------------------------------------------------------------
 
 
+def _calibration_images(input_size: int, n_synthetic: int = 2):
+    """Images for int8 activation-scale calibration: the bundled example
+    photo when present, padded with deterministic synthetic textures (so a
+    bare checkout still calibrates; real deployments should calibrate on
+    domain images via ``build_pipeline(..., calib_images=[...])``)."""
+    import os
+
+    import numpy as np
+
+    imgs = []
+    for cand in ("data/example.jpg",
+                 os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.abspath(__file__))), "data", "example.jpg")):
+        if os.path.exists(cand):
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(cand), cv2.COLOR_BGR2RGB)
+            imgs.append(cv2.resize(img, (input_size, input_size)))
+            break
+    rng = np.random.default_rng(0)
+    for _ in range(max(n_synthetic - len(imgs), 1)):
+        base = rng.integers(0, 255, (input_size // 7, input_size // 7, 3),
+                            dtype=np.uint8)
+        import cv2
+
+        imgs.append(cv2.resize(base, (input_size, input_size),
+                               interpolation=cv2.INTER_LINEAR))
+    return imgs
+
+
 def _build_da_family(
     model_name: str,
     encoder: str,
@@ -88,6 +119,7 @@ def _build_da_family(
     params: Any = None,
     viz: Optional[str] = None,
     resize_mode: str = "square",  # "square" | "lower_bound"
+    calib_images: Optional[Any] = None,  # uint8 (H,W,3) arrays for int8 scales
 ) -> DepthPipeline:
     import jax
 
@@ -118,12 +150,20 @@ def _build_da_family(
         metric=metric,
         dataset=dataset if metric else "",
     )
+    # int8 = w8a8 encoder serving (ops/quant.py; beyond the reference's
+    # fp16-only TRT engines): bf16 graph everywhere except the ViT Dense
+    # layers, whose weights/activations run the int8 MXU with statically
+    # calibrated scales. Params convert/cache under the bf16 name — the
+    # param tree is identical; only the compiled engine differs.
+    quant = precision == "int8"
+    dtype = compute_dtype("bf16" if quant else precision)
     model = DepthAnythingV2(
         encoder=encoder,
         metric=metric,
         max_depth=max_depth,
-        dtype=compute_dtype(precision),
+        dtype=dtype,
         attn_impl=attn_impl,
+        quant="serve" if quant else "none",
     )
 
     def preprocess(img_u8):
@@ -146,12 +186,38 @@ def _build_da_family(
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
     if params is None:
+        params_name = (
+            dataclasses.replace(spec, precision="bf16").artifact_name()
+            if quant
+            else spec.artifact_name()
+        )
         params = get_or_convert_params(
-            spec.artifact_name(),
+            params_name,
             model,
             example,
             torch_ckpt=checkpoint,
             converter=functools.partial(convert_depth_anything_v2, encoder=encoder),
+        )
+
+    if quant:
+        from monocular_depth_estimation_trt_tpu.ops.quant import (
+            quantize_vit_pipeline,
+        )
+
+        calib_model = dataclasses.replace(model, quant="calib")
+        prep = jax.jit(preprocess)
+        samples = tuple(
+            prep(jnp.asarray(img))
+            for img in (calib_images or _calibration_images(input_size))
+        )
+        q8 = quantize_vit_pipeline(calib_model, model, params, samples)
+        bundle = {"params": params, "q8": q8}
+        forward = depth_forward_factory(
+            lambda p, x: model.apply(p, x), preprocess
+        )
+        return DepthPipeline(
+            spec, forward, bundle,
+            viz=viz or ("metric" if metric else "relative"),
         )
 
     forward = depth_forward_factory(

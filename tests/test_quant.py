@@ -1,0 +1,118 @@
+"""Int8 (w8a8) static-calibration serving: kernel numerics, end-to-end
+accuracy gate, and the registry precision="int8" path.
+
+Beyond the reference (fp16-only TRT engines, no INT8 calibrator anywhere);
+design + measurements in docs/PERF.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monocular_depth_estimation_trt_tpu.ops.quant import (
+    QuantDense,
+    build_q8,
+    calibrate,
+    quantize_vit_pipeline,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip(rng):
+    k = jnp.asarray(rng.standard_normal((16, 8)).astype(np.float32))
+    kq, s = quantize_weight(k)
+    assert kq.dtype == jnp.int8
+    back = kq.astype(jnp.float32) * s[None, :]
+    # symmetric per-channel int8: max error is half a quantization step
+    step = s[None, :]
+    assert float(jnp.max(jnp.abs(back - k) / step)) <= 0.5 + 1e-5
+
+
+def test_quant_dense_matches_fp32(rng):
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)).astype(np.float32))
+    calib_m = QuantDense(16, mode="calib", dtype=jnp.float32)
+    serve_m = QuantDense(16, mode="serve", dtype=jnp.float32)
+    params = calib_m.init(jax.random.PRNGKey(0), x)["params"]
+    stats = calibrate(calib_m, {"params": params}, x)
+    q8s = jax.eval_shape(serve_m.init, jax.random.PRNGKey(0), x)["q8"]
+    q8 = build_q8(
+        jax.tree_util.tree_map(lambda s_: jnp.zeros(s_.shape, s_.dtype), q8s),
+        params,
+        stats,
+    )
+    y_f = calib_m.apply({"params": params}, x)
+    y_q = serve_m.apply({"params": params, "q8": q8}, x)
+    rel = float(jnp.max(jnp.abs(y_f - y_q)) / (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def _tiny_da(quant):
+    from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
+        DepthAnythingV2,
+    )
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+    return DepthAnythingV2(
+        encoder="tiny", dtype=jnp.float32, attn_impl="xla", vit_config=cfg,
+        head_features=16, head_out_channels=(8, 16, 32, 32),
+        out_indices=(0, 1, 0, 1), quant=quant,
+    )
+
+
+def test_da_int8_accuracy_gate(rng):
+    """Quantized tiny DA output stays close to the fp32 graph: δ1-style
+    gate via the metric suite (affine-aligned AbsRel)."""
+    from monocular_depth_estimation_trt_tpu.training.metrics import depth_metrics
+
+    x = jnp.asarray(rng.uniform(-2, 2, (1, 56, 56, 3)).astype(np.float32))
+    base = _tiny_da("none")
+    params = base.init(jax.random.PRNGKey(0), x)["params"]
+    ref = base.apply({"params": params}, x)
+
+    q8 = quantize_vit_pipeline(_tiny_da("calib"), _tiny_da("serve"), params, x)
+    out = _tiny_da("serve").apply({"params": params, "q8": q8}, x)
+
+    assert out.shape == ref.shape
+    assert np.isfinite(np.asarray(out)).all()
+    m = depth_metrics(out + 1e-3, ref + 1e-3, align="affine")
+    assert float(m["delta1"]) > 0.95, dict(
+        (k, float(v)) for k, v in m.items()
+    )
+
+
+def test_registry_int8_pipeline(monkeypatch, rng):
+    """precision="int8" builds a serving pipeline whose output tracks the
+    bf16 pipeline's (same converted params, same engine surface)."""
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(vit_config=cfg, head_features=16,
+                  head_out_channels=(8, 16, 32, 32), out_indices=(0, 1, 0, 1))
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    # explicit live params: the store's benchmark-random init can die
+    # through the ReLU head (constant clamp-floor output -> NaN corrcoef)
+    m = tiny(dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 56, 56, 3)))["params"]
+    pipe_q = build_pipeline("depth_anything_v2", encoder="vits",
+                            precision="int8", input_size=56, params=params)
+    pipe_f = build_pipeline("depth_anything_v2", encoder="vits",
+                            precision="fp32", input_size=56, params=params)
+    assert isinstance(pipe_q.params, dict) and "q8" in pipe_q.params
+    assert pipe_q.spec.artifact_name() != pipe_f.spec.artifact_name()
+
+    out_q = pipe_q(img)["depth"]
+    out_f = pipe_f(img)["depth"]
+    assert out_q.shape == out_f.shape
+    c = np.corrcoef(out_q.ravel(), out_f.ravel())[0, 1]
+    assert c > 0.98, c
