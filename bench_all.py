@@ -79,6 +79,15 @@ VIEWS_SUITE = [
     ("vggt", {"depth_only": True}, 8),
 ]
 
+# Int8 w8a8 static-calibration serving rows (ops/quant.py; the reference's
+# TRT engines are fp16-only — no INT8 calibrator exists in the reference).
+# vitl is the compute-bound end where the int8 MXU's 2x TOPS can pay;
+# baseline column = the same config's bf16 row for direct comparison.
+QUANT_SUITE = [
+    ("depth_anything_v2", {"encoder": "vitl", "precision": "int8"}, (518, 518)),
+    ("depth_anything_v2", {"encoder": "vits", "precision": "int8"}, (518, 518)),
+]
+
 
 def _run_isolated(tag: str, quick: bool, retries: int = 2) -> dict:
     """Benchmark one model in a fresh subprocess.
@@ -139,9 +148,12 @@ def main() -> None:
             for name, kw, _, b in BATCHED_SUITE
         ] + [
             f"{name}_s{s}" for name, _, s in VIEWS_SUITE
+        ] + [
+            name + "_" + kw["encoder"] + "_int8"
+            for name, kw, _ in QUANT_SUITE
         ]
         names = ([s[0] for s in SUITE] + [s[0] for s in BATCHED_SUITE]
-                 + [s[0] for s in VIEWS_SUITE])
+                 + [s[0] for s in VIEWS_SUITE] + [s[0] for s in QUANT_SUITE])
         for name, tag in zip(names, tags):
             if subset and name not in subset and tag not in subset:
                 continue
@@ -255,6 +267,47 @@ def main() -> None:
                 "fidelity": get_fidelity(name),
                 "baseline_trt_fps": None,
                 "speedup_vs_trt": None,
+                "build_s": round(time.time() - t0 - rep.total_seconds, 1),
+            }
+        except Exception as e:
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    for name, kw, in_hw in QUANT_SUITE:
+        tag = name + "_" + kw["encoder"] + "_int8"
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            rep = pipe.benchmark(in_hw, cfg)
+            p50 = rep.percentile_ms(50)
+            # compare against the same config's bf16 row — from this run, or
+            # (isolate-mode subprocesses) the last recorded BENCH_ALL.json
+            bf16_tag = name + "_" + kw["encoder"]
+            bf16 = next((r.get("fps") for r in results
+                         if r.get("model") == bf16_tag), None)
+            if bf16 is None:
+                try:
+                    with open(os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)), "BENCH_ALL.json")) as f:
+                        bf16 = next((r.get("fps")
+                                     for r in json.load(f)["results"]
+                                     if r.get("model") == bf16_tag), None)
+                except Exception:
+                    pass
+            row = {
+                "model": tag,
+                "input_hw": list(in_hw),
+                "fps": round(rep.fps, 2),
+                "avg_ms": round(rep.avg_ms, 2),
+                "latency_p50_ms": round(p50, 2) if p50 is not None else None,
+                "fidelity": get_fidelity(name),
+                "baseline_trt_fps": None,
+                "speedup_vs_trt": None,
+                "bf16_fps": bf16,
+                "speedup_vs_bf16": round(rep.fps / bf16, 2) if bf16 else None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
             }
         except Exception as e:
