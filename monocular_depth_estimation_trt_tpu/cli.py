@@ -617,6 +617,8 @@ def cmd_serve(args) -> int:
     kw = {"encoder": args.encoder} if args.encoder else {}
     if args.checkpoint:
         kw["checkpoint"] = args.checkpoint
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
     hw = (args.size, args.size) if args.size else None
     serve(pipe, host=args.host, port=args.port, input_hw=hw,
@@ -1032,6 +1034,8 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("model")
     serve.add_argument("--encoder", default="")
     serve.add_argument("--checkpoint", default="")
+    serve.add_argument("--precision", default="",
+                       choices=["", "bf16", "fp16", "fp32", "int8"])
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
     serve.add_argument("--size", type=int, default=0,
