@@ -285,18 +285,13 @@ def main() -> None:
             p50 = rep.percentile_ms(50)
             # compare against the same config's bf16 row — from this run, or
             # (isolate-mode subprocesses) the last recorded BENCH_ALL.json
+            from bench import _recorded_fps
+
             bf16_tag = name + "_" + kw["encoder"]
             bf16 = next((r.get("fps") for r in results
                          if r.get("model") == bf16_tag), None)
             if bf16 is None:
-                try:
-                    with open(os.path.join(os.path.dirname(
-                            os.path.abspath(__file__)), "BENCH_ALL.json")) as f:
-                        bf16 = next((r.get("fps")
-                                     for r in json.load(f)["results"]
-                                     if r.get("model") == bf16_tag), None)
-                except Exception:
-                    pass
+                bf16 = _recorded_fps(bf16_tag)
             row = {
                 "model": tag,
                 "input_hw": list(in_hw),

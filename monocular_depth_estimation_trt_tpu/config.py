@@ -86,6 +86,15 @@ def compute_dtype(precision: str):
     """Map a precision name to the jnp compute dtype (TPU-first: fp16->bf16)."""
     import jax.numpy as jnp
 
+    if precision == "int8":
+        # int8 is a serving mode (w8a8, ops/quant.py), not a compute dtype:
+        # families that support it map int8 -> bf16 graph + quantized Dense
+        # themselves. Reaching here means the family has no int8 path yet.
+        raise ValueError(
+            "precision='int8' is only supported by the Depth-Anything family "
+            "(depth_anything_v2 / distill_any_depth / depth_anything_ac); "
+            "use bf16/fp16/fp32 for this model"
+        )
     return {
         "fp32": jnp.float32,
         "bf16": jnp.bfloat16,

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
 from monocular_depth_estimation_trt_tpu.ops.resize import resample_matrix
 
 
@@ -113,8 +114,6 @@ class Attention(nn.Module):
         """``rope``: optional ((cos, sin), num_prefix) — rotary tables for the
         trailing patch tokens; the ``num_prefix`` leading tokens (cls +
         registers) stay unrotated."""
-        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
-
         b, n, _ = x.shape
         head_dim = self.dim // self.num_heads
         qkv = make_dense(self.quant, self.dim * 3, use_bias=self.qkv_bias,
@@ -165,8 +164,6 @@ class Attention(nn.Module):
 
             o = attention_reference(q, k, v)
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
-        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
-
         return make_dense(self.quant, self.dim, use_bias=True,
                           dtype=self.dtype, name="proj")(o)
 
@@ -179,8 +176,6 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
-
         x = make_dense(self.quant, self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         return make_dense(self.quant, self.dim, dtype=self.dtype, name="fc2")(x)
@@ -196,8 +191,6 @@ class SwiGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
-
         x12 = make_dense(self.quant, 2 * self.hidden, dtype=self.dtype,
                          name="w12")(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)

@@ -59,8 +59,15 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d_in = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+        # serve mode never reads the fp32 kernel — don't declare it, so the
+        # serving bundle can drop it (prune_quantized_kernels) instead of
+        # holding ~2x dead weight bytes in HBM / over the transfer link.
+        kernel = (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+            )
+            if self.mode == "calib"
+            else None
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,))
@@ -151,10 +158,23 @@ def build_q8(q8_struct: Dict, params: Dict, stats: Dict) -> Dict:
     """Fill a ``q8`` collection from params + calibration stats.
 
     ``q8_struct``: the structure from ``model.init`` (serve mode) — a tree
-    whose QuantDense leaves hold ``{in_scale, kernel_q, w_scale}``;
-    ``params``/``stats`` are indexed by the same module paths. absmax==0
-    (layer never fired during calibration) falls back to scale 1.
+    whose QuantDense leaves hold ``{in_scale, kernel_q, w_scale}``; only its
+    *keys* are read, so the ``jax.eval_shape`` result works directly (no
+    materialization). ``params``/``stats`` are indexed by the same module
+    paths. absmax==0 (layer never fired during calibration) falls back to
+    scale 1. The whole quantization runs as ONE jitted program — eagerly it
+    would be ~4 dispatches per Dense layer, seconds each over a remote
+    device link (CLAUDE.md).
     """
+
+    from collections.abc import Mapping
+
+    def unwrap(node):
+        if isinstance(node, tuple):  # flax sow appends to a tuple
+            return node[0] if len(node) == 1 else node
+        if isinstance(node, Mapping):
+            return {k: unwrap(v) for k, v in node.items()}
+        return node
 
     def walk(qnode: Dict, pnode: Dict, snode: Dict) -> Dict:
         if "kernel_q" in qnode:  # a QuantDense leaf group
@@ -166,23 +186,30 @@ def build_q8(q8_struct: Dict, params: Dict, stats: Dict) -> Dict:
                 "kernel_q": kernel_q,
                 "w_scale": w_scale,
             }
-        out = {}
-        for key, sub in qnode.items():
-            # flax sow appends to a tuple; unwrap single-entry tuples
-            snext = snode.get(key, {}) if isinstance(snode, dict) else {}
-            if isinstance(snext, tuple):
-                snext = snext[0] if len(snext) == 1 else snext
-            out[key] = walk(sub, pnode[key], snext)
-        return out
+        return {key: walk(sub, pnode[key], snode.get(key, {}))
+                for key, sub in qnode.items()}
 
-    def unwrap(node):
-        if isinstance(node, tuple):
-            return node[0] if len(node) == 1 else node
-        if isinstance(node, dict):
-            return {k: unwrap(v) for k, v in node.items()}
-        return node
+    return jax.jit(lambda p, s: walk(q8_struct, p, s))(params, unwrap(stats))
 
-    return walk(q8_struct, params, unwrap(stats))
+
+def prune_quantized_kernels(params: Dict, q8: Dict) -> Dict:
+    """Drop the fp32/bf16 ``kernel`` of every quantized Dense from a params
+    tree (serve mode reads only ``bias`` + the ``q8`` collection): the
+    serving bundle then holds one copy of each quantized weight (int8), not
+    two. Returns a new tree; non-quantized params pass through untouched."""
+    from collections.abc import Mapping
+
+    def walk(pnode, qnode):
+        if not isinstance(pnode, Mapping):
+            return pnode
+        if isinstance(qnode, Mapping) and "kernel_q" in qnode:
+            return {k: v for k, v in pnode.items() if k != "kernel"}
+        return {
+            k: walk(v, qnode.get(k) if isinstance(qnode, Mapping) else None)
+            for k, v in pnode.items()
+        }
+
+    return walk(params, q8)
 
 
 def quantize_vit_pipeline(model_calib, model_serve, params, sample_batch):
@@ -203,7 +230,4 @@ def quantize_vit_pipeline(model_calib, model_serve, params, sample_batch):
         jax.random.PRNGKey(0),
         (sample_batch[0] if isinstance(sample_batch, tuple) else sample_batch),
     )["q8"]
-    q8_zero = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), q8_struct
-    )
-    return build_q8(q8_zero, params, stats)
+    return build_q8(q8_struct, params, stats)

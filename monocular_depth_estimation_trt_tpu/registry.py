@@ -82,24 +82,24 @@ def _calibration_images(input_size: int, n_synthetic: int = 2):
     domain images via ``build_pipeline(..., calib_images=[...])``)."""
     import os
 
+    import cv2
     import numpy as np
 
     imgs = []
-    for cand in ("data/example.jpg",
-                 os.path.join(os.path.dirname(os.path.dirname(
-                     os.path.abspath(__file__))), "data", "example.jpg")):
-        if os.path.exists(cand):
-            import cv2
-
-            img = cv2.cvtColor(cv2.imread(cand), cv2.COLOR_BGR2RGB)
+    # repo-root copy first: CWD-relative data/ may be a foreign directory
+    cand = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "example.jpg")
+    if not os.path.exists(cand):
+        cand = os.path.join("data", "example.jpg")
+    if os.path.exists(cand):
+        img = cv2.imread(cand)  # None on unreadable/corrupt files
+        if img is not None:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             imgs.append(cv2.resize(img, (input_size, input_size)))
-            break
     rng = np.random.default_rng(0)
     for _ in range(max(n_synthetic - len(imgs), 1)):
         base = rng.integers(0, 255, (input_size // 7, input_size // 7, 3),
                             dtype=np.uint8)
-        import cv2
-
         imgs.append(cv2.resize(base, (input_size, input_size),
                                interpolation=cv2.INTER_LINEAR))
     return imgs
@@ -185,12 +185,13 @@ def _build_da_family(
         return x[None]
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    params_name = (
+        dataclasses.replace(spec, precision="bf16").artifact_name()
+        if quant
+        else spec.artifact_name()
+    )
+    explicit_params = params is not None
     if params is None:
-        params_name = (
-            dataclasses.replace(spec, precision="bf16").artifact_name()
-            if quant
-            else spec.artifact_name()
-        )
         params = get_or_convert_params(
             params_name,
             model,
@@ -201,17 +202,45 @@ def _build_da_family(
 
     if quant:
         from monocular_depth_estimation_trt_tpu.ops.quant import (
+            prune_quantized_kernels,
             quantize_vit_pipeline,
         )
-
-        calib_model = dataclasses.replace(model, quant="calib")
-        prep = jax.jit(preprocess)
-        samples = tuple(
-            prep(jnp.asarray(img))
-            for img in (calib_images or _calibration_images(input_size))
+        from monocular_depth_estimation_trt_tpu.weights.store import (
+            load_params,
+            save_params,
         )
-        q8 = quantize_vit_pipeline(calib_model, model, params, samples)
-        bundle = {"params": params, "q8": q8}
+
+        # q8 persistence: calibration compiles its own full XLA graph and
+        # runs the model — minutes over the tunnel. Scales are deterministic
+        # for the default calibration set, so cache them beside the params
+        # (skipped for user-provided calib_images, and never cached when the
+        # underlying params are benchmark-random — no params cache dir).
+        q8_name = spec.artifact_name() + "_q8"
+        cacheable = calib_images is None and not explicit_params
+        q8 = None
+        if cacheable:
+            try:
+                q8 = load_params(q8_name)
+            except Exception:
+                q8 = None
+        if q8 is None:
+            calib_model = dataclasses.replace(model, quant="calib")
+            prep = jax.jit(preprocess)
+            samples = tuple(
+                prep(jnp.asarray(img))
+                for img in (calib_images or _calibration_images(input_size))
+            )
+            q8 = quantize_vit_pipeline(calib_model, model, params, samples)
+            from monocular_depth_estimation_trt_tpu.weights.store import (
+                _params_dir,
+            )
+            import os as _os
+
+            if cacheable and _os.path.isdir(_params_dir(params_name)):
+                save_params(q8_name, q8)
+        # serve mode reads only bias + q8: drop the full-precision kernels
+        # so int8 halves the resident weight bytes instead of doubling them
+        bundle = {"params": prune_quantized_kernels(params, q8), "q8": q8}
         forward = depth_forward_factory(
             lambda p, x: model.apply(p, x), preprocess
         )

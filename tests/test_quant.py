@@ -82,6 +82,39 @@ def test_da_int8_accuracy_gate(rng):
     )
 
 
+def test_prune_quantized_kernels(rng):
+    """Serving bundles drop the full-precision kernels of quantized layers
+    (serve mode reads only bias + q8) while keeping everything else."""
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        prune_quantized_kernels,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 8)).astype(np.float32))
+    calib_m = QuantDense(8, mode="calib", dtype=jnp.float32)
+    serve_m = QuantDense(8, mode="serve", dtype=jnp.float32)
+    params = calib_m.init(jax.random.PRNGKey(0), x)["params"]
+    stats = calibrate(calib_m, {"params": params}, x)
+    q8s = jax.eval_shape(serve_m.init, jax.random.PRNGKey(0), x)["q8"]
+    q8 = build_q8(q8s, params, stats)
+
+    tree = {"dense": dict(params), "other": {"kernel": jnp.ones((2, 2))}}
+    pruned = prune_quantized_kernels(tree, {"dense": q8})
+    assert "kernel" not in pruned["dense"] and "bias" in pruned["dense"]
+    assert "kernel" in pruned["other"]  # non-quantized params untouched
+
+    y_q = serve_m.apply({"params": pruned["dense"], "q8": q8}, x)
+    assert np.isfinite(np.asarray(y_q)).all()
+
+
+def test_int8_unsupported_family_clear_error():
+    """precision='int8' on a family without a quant path raises a clear
+    ValueError (not a raw KeyError) from compute_dtype."""
+    from monocular_depth_estimation_trt_tpu.config import compute_dtype
+
+    with pytest.raises(ValueError, match="int8"):
+        compute_dtype("int8")
+
+
 def test_registry_int8_pipeline(monkeypatch, rng):
     """precision="int8" builds a serving pipeline whose output tracks the
     bf16 pipeline's (same converted params, same engine surface)."""
