@@ -86,6 +86,9 @@ VIEWS_SUITE = [
 QUANT_SUITE = [
     ("depth_anything_v2", {"encoder": "vitl", "precision": "int8"}, (518, 518)),
     ("depth_anything_v2", {"encoder": "vits", "precision": "int8"}, (518, 518)),
+    # the zoo's most compute-bound families — where int8 should pay most
+    ("metric3d_v2", {"encoder": "vitl", "precision": "int8"}, (616, 1064)),
+    ("depth_pro", {"precision": "int8"}, (1536, 1536)),
 ]
 
 
@@ -149,7 +152,8 @@ def main() -> None:
         ] + [
             f"{name}_s{s}" for name, _, s in VIEWS_SUITE
         ] + [
-            name + "_" + kw["encoder"] + "_int8"
+            name + ("_" + kw["encoder"] if kw.get("encoder") else "")
+            + "_int8"
             for name, kw, _ in QUANT_SUITE
         ]
         names = ([s[0] for s in SUITE] + [s[0] for s in BATCHED_SUITE]
@@ -275,7 +279,8 @@ def main() -> None:
         print(json.dumps(row))
 
     for name, kw, in_hw in QUANT_SUITE:
-        tag = name + "_" + kw["encoder"] + "_int8"
+        tag = (name + ("_" + kw["encoder"] if kw.get("encoder") else "")
+               + "_int8")
         if subset and name not in subset and tag not in subset:
             continue
         try:
@@ -287,7 +292,8 @@ def main() -> None:
             # (isolate-mode subprocesses) the last recorded BENCH_ALL.json
             from bench import _recorded_fps
 
-            bf16_tag = name + "_" + kw["encoder"]
+            bf16_tag = name + ("_" + kw["encoder"]
+                               if kw.get("encoder") else "")
             bf16 = next((r.get("fps") for r in results
                          if r.get("model") == bf16_tag), None)
             if bf16 is None:

@@ -896,7 +896,7 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--precision", default="",
                      choices=["", "bf16", "fp16", "fp32", "int8"],
                      help="compute precision; int8 = statically-calibrated "
-                     "w8a8 encoder serving (DA family)")
+                     "w8a8 encoder serving (ViT-backbone families)")
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")

@@ -91,9 +91,10 @@ def compute_dtype(precision: str):
         # families that support it map int8 -> bf16 graph + quantized Dense
         # themselves. Reaching here means the family has no int8 path yet.
         raise ValueError(
-            "precision='int8' is only supported by the Depth-Anything family "
-            "(depth_anything_v2 / distill_any_depth / depth_anything_ac); "
-            "use bf16/fp16/fp32 for this model"
+            "this model family has no int8 serving path (supported: the "
+            "Depth-Anything family, depth_anything_v3, depth_pro, "
+            "unidepth_v2/unik3d, metric3d_v2, moge2/metric_anything); "
+            "use bf16/fp16/fp32 here"
         )
     return {
         "fp32": jnp.float32,

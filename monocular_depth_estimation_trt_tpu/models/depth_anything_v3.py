@@ -123,6 +123,8 @@ class DepthAnythingV3(nn.Module):
     encoder: str = "vitl"
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the backbone Dense layers (ops/quant.py)
+    quant: str = "none"
     cfg: DA3Config = DA3Config()
 
     @nn.compact
@@ -142,6 +144,7 @@ class DepthAnythingV3(nn.Module):
             out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="backbone",
         )(x)
         depth, sky = DualDPTHead(

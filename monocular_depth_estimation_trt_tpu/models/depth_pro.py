@@ -197,6 +197,8 @@ class DepthPro(nn.Module):
     dims_encoder: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for both ViT encoders' Dense layers (ops/quant.py)
+    quant: str = "none"
     cfg: DepthProConfig = DepthProConfig()
 
     @nn.compact
@@ -229,6 +231,7 @@ class DepthPro(nn.Module):
             raw_indices=c.hook_block_ids,
             dtype=d,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="patch_encoder",
         )(patches)
         (h0, _), (h1, _), (fin, _) = taps  # each (n0+n1+1, g*g, dim)
@@ -248,6 +251,7 @@ class DepthPro(nn.Module):
             out_indices=(final_idx,),
             dtype=d,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="image_encoder",
         )(x2)
         img_feat, img_cls = img_taps[0]

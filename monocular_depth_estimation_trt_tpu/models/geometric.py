@@ -282,6 +282,9 @@ class GeometricDepthModel(nn.Module):
     mode: str = "unidepth"
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the pixel-encoder Dense layers (ops/quant.py);
+    # the camera/depth decoder cross-attention stays bf16
+    quant: str = "none"
     cfg: GeometricConfig = GeometricConfig()
 
     @nn.compact
@@ -300,6 +303,7 @@ class GeometricDepthModel(nn.Module):
             out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="pixel_encoder",
         )(x)
 

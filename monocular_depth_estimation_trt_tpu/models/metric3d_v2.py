@@ -166,6 +166,9 @@ class Metric3DV2(nn.Module):
     iters: int = 4
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the ViT-L encoder Dense layers (ops/quant.py);
+    # the RAFT-DPT decoder stays bf16 (conv/GRU-dominated)
+    quant: str = "none"
     cfg: Metric3DConfig = Metric3DConfig()
 
     @nn.compact
@@ -193,6 +196,7 @@ class Metric3DV2(nn.Module):
             out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="encoder",
         )(x)
 

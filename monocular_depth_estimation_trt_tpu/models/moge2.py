@@ -139,6 +139,8 @@ class MoGe2(nn.Module):
     predict_normal: bool = True
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the backbone Dense layers (ops/quant.py)
+    quant: str = "none"
     cfg: MoGeConfig = MoGeConfig()
 
     @nn.compact
@@ -158,6 +160,7 @@ class MoGe2(nn.Module):
             out_indices=out_indices,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="backbone",
         )(xin)
 

@@ -75,16 +75,21 @@ def build_pipeline(name: str, **kwargs) -> DepthPipeline:
 # ---------------------------------------------------------------------------
 
 
-def _calibration_images(input_size: int, n_synthetic: int = 2):
+def _calibration_images(input_hw, n_synthetic: int = 2):
     """Images for int8 activation-scale calibration: the bundled example
     photo when present, padded with deterministic synthetic textures (so a
     bare checkout still calibrates; real deployments should calibrate on
-    domain images via ``build_pipeline(..., calib_images=[...])``)."""
+    domain images via ``build_pipeline(..., calib_images=[...])``).
+
+    ``input_hw``: (H, W) target resolution, or a single int for square."""
     import os
 
     import cv2
     import numpy as np
 
+    if isinstance(input_hw, int):
+        input_hw = (input_hw, input_hw)
+    h, w = input_hw
     imgs = []
     # repo-root copy first: CWD-relative data/ may be a foreign directory
     cand = os.path.join(os.path.dirname(os.path.dirname(
@@ -95,14 +100,85 @@ def _calibration_images(input_size: int, n_synthetic: int = 2):
         img = cv2.imread(cand)  # None on unreadable/corrupt files
         if img is not None:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            imgs.append(cv2.resize(img, (input_size, input_size)))
+            imgs.append(cv2.resize(img, (w, h)))
     rng = np.random.default_rng(0)
     for _ in range(max(n_synthetic - len(imgs), 1)):
-        base = rng.integers(0, 255, (input_size // 7, input_size // 7, 3),
-                            dtype=np.uint8)
-        imgs.append(cv2.resize(base, (input_size, input_size),
-                               interpolation=cv2.INTER_LINEAR))
+        base = rng.integers(0, 255, (h // 7, w // 7, 3), dtype=np.uint8)
+        imgs.append(cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR))
     return imgs
+
+
+def _int8_bundle(model, params, spec, params_name, make_sample, *,
+                 calib_images=None, explicit_params=False, input_size=518):
+    """Family-generic int8 serving bundle: calibrate (or load cached scales)
+    and prune quantized kernels. ``make_sample``: jittable uint8 image ->
+    model input batch (the family's preprocess, minus any aux returns).
+    Scales cache beside the params, only when the params themselves came
+    from the store (cache dir exists) and calibration used the default
+    deterministic image set."""
+    import os
+
+    import jax
+
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        quantize_model_bundle,
+    )
+    from monocular_depth_estimation_trt_tpu.weights.store import _params_dir
+
+    cacheable = (calib_images is None and not explicit_params
+                 and os.path.isdir(_params_dir(params_name)))
+
+    def samples():
+        prep = jax.jit(make_sample)
+        return tuple(
+            prep(jnp.asarray(img))
+            for img in (calib_images
+                        if calib_images is not None
+                        else _calibration_images(input_size))
+        )
+
+    return quantize_model_bundle(
+        model, params, samples,
+        cache_name=spec.artifact_name() + "_q8", cacheable=cacheable,
+    )
+
+
+def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
+                make_sample, input_size, calib_images=None):
+    """Shared param resolution for builders with an int8 path: resolve the
+    full-precision tree (cache -> checkpoint -> random; int8 shares the bf16
+    artifact — only the compiled engine differs), then, when quantizing,
+    wrap it into the calibrated+pruned serving bundle.
+
+    ``make_sample``: jittable uint8 image -> model input batch (used only on
+    a calibration-cache miss)."""
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        get_or_convert_params,
+    )
+
+    params_name = (
+        dataclasses.replace(spec, precision="bf16").artifact_name()
+        if quant else spec.artifact_name()
+    )
+    explicit = params is not None
+    if params is None:
+        # resolve against the full-precision tree: serve mode doesn't
+        # declare the Dense kernels, so its init structure would mismatch
+        # the cached/converted params
+        params_model = (
+            dataclasses.replace(model, quant="none") if quant else model
+        )
+        params = get_or_convert_params(
+            params_name, params_model, example,
+            torch_ckpt=checkpoint, converter=converter,
+        )
+    if quant:
+        params = _int8_bundle(
+            model, params, spec, params_name, make_sample,
+            calib_images=calib_images, explicit_params=explicit,
+            input_size=input_size,
+        )
+    return params
 
 
 def _build_da_family(
@@ -185,72 +261,18 @@ def _build_da_family(
         return x[None]
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    params_name = (
-        dataclasses.replace(spec, precision="bf16").artifact_name()
-        if quant
-        else spec.artifact_name()
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(convert_depth_anything_v2, encoder=encoder),
+        make_sample=preprocess, input_size=input_size,
+        calib_images=calib_images,
     )
-    explicit_params = params is not None
-    if params is None:
-        params = get_or_convert_params(
-            params_name,
-            model,
-            example,
-            torch_ckpt=checkpoint,
-            converter=functools.partial(convert_depth_anything_v2, encoder=encoder),
-        )
 
-    if quant:
-        from monocular_depth_estimation_trt_tpu.ops.quant import (
-            prune_quantized_kernels,
-            quantize_vit_pipeline,
-        )
-        from monocular_depth_estimation_trt_tpu.weights.store import (
-            load_params,
-            save_params,
-        )
-
-        # q8 persistence: calibration compiles its own full XLA graph and
-        # runs the model — minutes over the tunnel. Scales are deterministic
-        # for the default calibration set, so cache them beside the params
-        # (skipped for user-provided calib_images, and never cached when the
-        # underlying params are benchmark-random — no params cache dir).
-        q8_name = spec.artifact_name() + "_q8"
-        cacheable = calib_images is None and not explicit_params
-        q8 = None
-        if cacheable:
-            try:
-                q8 = load_params(q8_name)
-            except Exception:
-                q8 = None
-        if q8 is None:
-            calib_model = dataclasses.replace(model, quant="calib")
-            prep = jax.jit(preprocess)
-            samples = tuple(
-                prep(jnp.asarray(img))
-                for img in (calib_images or _calibration_images(input_size))
-            )
-            q8 = quantize_vit_pipeline(calib_model, model, params, samples)
-            from monocular_depth_estimation_trt_tpu.weights.store import (
-                _params_dir,
-            )
-            import os as _os
-
-            if cacheable and _os.path.isdir(_params_dir(params_name)):
-                save_params(q8_name, q8)
-        # serve mode reads only bias + q8: drop the full-precision kernels
-        # so int8 halves the resident weight bytes instead of doubling them
-        bundle = {"params": prune_quantized_kernels(params, q8), "q8": q8}
-        forward = depth_forward_factory(
-            lambda p, x: model.apply(p, x), preprocess
-        )
-        return DepthPipeline(
-            spec, forward, bundle,
-            viz=viz or ("metric" if metric else "relative"),
-        )
+    from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
 
     forward = depth_forward_factory(
-        lambda p, x: model.apply({"params": p}, x), preprocess
+        lambda p, x: model.apply(as_variables(p), x), preprocess
     )
     return DepthPipeline(
         spec, forward, params, viz=viz or ("metric" if metric else "relative")
@@ -333,30 +355,37 @@ def depth_anything_v3(
         precision=precision,
         metric=True,
     )
+    quant = precision == "int8"  # w8a8 backbone serving (ops/quant.py)
     model = DepthAnythingV3(
-        encoder=encoder, dtype=compute_dtype(precision), attn_impl=attn_impl
+        encoder=encoder, dtype=compute_dtype("bf16" if quant else precision),
+        attn_impl=attn_impl, quant="serve" if quant else "none",
     )
 
-    def forward(p, img_u8, out_hw):
+    def preprocess(img_u8):
         x = to_float_rgb(img_u8)
         x = resize(x, spec.input_hw, method="linear")
-        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
-        depth, sky = model.apply({"params": p}, x)
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+
+    def forward(p, img_u8, out_hw):
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
+        depth, sky = model.apply(as_variables(p), preprocess(img_u8))
         depth = upsample_depth(depth, out_hw)[0]
         sky = resize_hw(sky, out_hw, "linear", align_corners=True)[0]
         return {"depth": depth, "sky": sky}
 
-    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    if params is None:
-        from monocular_depth_estimation_trt_tpu.weights.convert import (
-            convert_depth_anything_v3,
-        )
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_depth_anything_v3,
+    )
 
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(convert_depth_anything_v3,
-                                        encoder=encoder),
-        )
+    example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(convert_depth_anything_v3,
+                                    encoder=encoder),
+        make_sample=preprocess, input_size=input_size,
+    )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
@@ -390,15 +419,21 @@ def depth_pro(
 
     size = 1536
     spec = ModelSpec(model="depth_pro", input_hw=(size, size), precision=precision)
-    model = DepthPro(dtype=compute_dtype(precision), attn_impl=attn_impl)
+    quant = precision == "int8"  # w8a8 for both ViT encoders (ops/quant.py)
+    model = DepthPro(dtype=compute_dtype("bf16" if quant else precision),
+                     attn_impl=attn_impl, quant="serve" if quant else "none")
 
-    def forward(p, img_u8, out_hw):
+    def preprocess(img_u8):
         # reference: ToTensor + Normalize(0.5) + bilinear resize to 1536
         # (Depth_Pro/onnx2trt.py:96-114), all fused on device
         x = to_float_rgb(img_u8)
         x = normalize(x, HALF_MEAN, HALF_STD)
-        x = resize(x[None], (size, size), method="linear")
-        cid, fov_deg = model.apply({"params": p}, x)
+        return resize(x[None], (size, size), method="linear")
+
+    def forward(p, img_u8, out_hw):
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
+        cid, fov_deg = model.apply(as_variables(p), preprocess(img_u8))
         # postprocess (reference :152-165): W is the ORIGINAL width
         W = out_hw[1]
         focal = fov_to_focal(fov_deg[0], W) if f_px is None else jnp.float32(f_px)
@@ -409,16 +444,16 @@ def depth_pro(
         depth = 1.0 / jnp.clip(inverse_depth, 1e-4, 1e4)
         return {"depth": depth, "f_px": focal}
 
-    example = jnp.zeros((1, size, size, 3), jnp.float32)
-    if params is None:
-        from monocular_depth_estimation_trt_tpu.weights.convert import (
-            convert_depth_pro,
-        )
+    from monocular_depth_estimation_trt_tpu.weights.convert import (
+        convert_depth_pro,
+    )
 
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=convert_depth_pro,
-        )
+    example = jnp.zeros((1, size, size, 3), jnp.float32)
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint, converter=convert_depth_pro,
+        make_sample=preprocess, input_size=size,
+    )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
@@ -458,17 +493,23 @@ def _build_geometric(
         precision=precision,
         metric=True,
     )
+    quant = precision == "int8"  # w8a8 pixel-encoder serving (ops/quant.py)
     model = GeometricDepthModel(
-        encoder=encoder, mode=mode, dtype=compute_dtype(precision),
-        attn_impl=attn_impl,
+        encoder=encoder, mode=mode,
+        dtype=compute_dtype("bf16" if quant else precision),
+        attn_impl=attn_impl, quant="serve" if quant else "none",
     )
 
-    def forward(p, img_u8, out_hw):
+    def preprocess(img_u8):
         # ImageNet normalize (reference Uni_Depth_V2/onnx2trt.py:116)
         x = to_float_rgb(img_u8)
         x = resize(x, spec.input_hw, method="linear")
-        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
-        out = model.apply({"params": p}, x)
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+
+    def forward(p, img_u8, out_hw):
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
+        out = model.apply(as_variables(p), preprocess(img_u8))
         # postprocess (reference Uni_Depth_V2/onnx2trt.py:170-183): bilinear
         # align_corners=False resize of points; depth = z clamped; intrinsics
         # rescaled to the original resolution (:78-94)
@@ -487,12 +528,13 @@ def _build_geometric(
         }
 
     example = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    if params is None:
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(convert_geometric, encoder=encoder,
-                                        mode=mode),
-        )
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(convert_geometric, encoder=encoder,
+                                    mode=mode),
+        make_sample=preprocess, input_size=input_size,
+    )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
@@ -547,14 +589,20 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         model="metric3d_v2", encoder=encoder, input_hw=canvas,
         precision=precision, metric=True,
     )
+    # int8 = w8a8 encoder serving (ops/quant.py): ViT-L at 616x1064 is the
+    # compute-bound end of the zoo where the int8 MXU's 2x TOPS pays most
+    quant = precision == "int8"
     model = Metric3DV2(
-        encoder=encoder, iters=iters, dtype=compute_dtype(precision),
-        attn_impl=attn_impl,
+        encoder=encoder, iters=iters,
+        dtype=compute_dtype("bf16" if quant else precision),
+        attn_impl=attn_impl, quant="serve" if quant else "none",
     )
 
     def forward(p, img_u8, out_hw):
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
         x, pad, scale = preprocess_keep_ratio_pad(img_u8, canvas)
-        out = model.apply({"params": p}, x)
+        out = model.apply(as_variables(p), x)
         depth = crop_pad(out["depth"], pad)
         depth = resize_hw(depth, out_hw, "linear", align_corners=False)[0]
         if focal is not None:
@@ -566,11 +614,13 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         return {"depth": depth, "confidence": conf}
 
     example = jnp.zeros((1, *canvas, 3), jnp.float32)
-    if params is None:
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(convert_metric3d_v2, encoder=encoder),
-        )
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(convert_metric3d_v2, encoder=encoder),
+        make_sample=lambda img: preprocess_keep_ratio_pad(img, canvas)[0],
+        input_size=canvas,
+    )
     return DepthPipeline(spec, forward, params, viz="metric")
 
 
@@ -609,16 +659,22 @@ def _build_moge(
         variant="normal" if predict_normal else "",
         metric=True,
     )
+    quant = precision == "int8"  # w8a8 backbone serving (ops/quant.py)
     model = MoGe2(
         encoder=encoder, num_tokens=num_tokens, predict_normal=predict_normal,
-        dtype=compute_dtype(precision), attn_impl=attn_impl,
+        dtype=compute_dtype("bf16" if quant else precision),
+        attn_impl=attn_impl, quant="serve" if quant else "none",
     )
 
-    def model_forward(p, img_u8):
+    def preprocess(img_u8):
         x = to_float_rgb(img_u8)
         x = resize(x, spec.input_hw, method="linear")
-        x = normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
-        return model.apply({"params": p}, x)
+        return normalize(x, IMAGENET_MEAN, IMAGENET_STD)[None]
+
+    def model_forward(p, img_u8):
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
+        return model.apply(as_variables(p), preprocess(img_u8))
 
     def postprocess(out, out_hw):
         points = out["points"]  # (1, h, w, 3) affine-invariant
@@ -658,12 +714,13 @@ def _build_moge(
         return postprocess(model_forward(p, img_u8), out_hw)
 
     example = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    if params is None:
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(convert_moge2, encoder=encoder,
-                                        predict_normal=predict_normal),
-        )
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(convert_moge2, encoder=encoder,
+                                    predict_normal=predict_normal),
+        make_sample=preprocess, input_size=tuple(input_hw),
+    )
 
     class _SplitEngine:
         """Model and focal-shift postprocess as TWO compiled programs with a

@@ -115,6 +115,50 @@ def test_int8_unsupported_family_clear_error():
         compute_dtype("int8")
 
 
+def test_metric3d_int8_quant(rng):
+    """Metric3D V2 (the zoo's most compute-bound family) quantizes through
+    the generic bundle path: pruned serving bundle, output tracks fp32."""
+    from monocular_depth_estimation_trt_tpu.models.metric3d_v2 import (
+        Metric3DConfig,
+        Metric3DV2,
+    )
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        as_variables,
+        quantize_model_bundle,
+    )
+
+    cfg = ViTConfig(dim=64, depth=4, num_heads=4, pretrain_img_size=70)
+
+    def mk(quant):
+        return Metric3DV2(
+            encoder="tiny", iters=2, dtype=jnp.float32, attn_impl="xla",
+            quant=quant,
+            cfg=Metric3DConfig(
+                vit_config=cfg, features=16, out_channels=(8, 16, 32, 32),
+                out_indices=(0, 1, 2, 3), hidden=32, upsample_factor=7,
+            ),
+        )
+
+    x = jnp.asarray(rng.standard_normal((1, 70, 84, 3)).astype(np.float32) * 0.5)
+    base = mk("none")
+    params = base.init(jax.random.PRNGKey(1), x)["params"]
+    ref = base.apply({"params": params}, x)
+
+    serve = mk("serve")
+    bundle = quantize_model_bundle(serve, params, (x,))
+    # quantized kernels pruned from the bundle (attn qkv is a QuantDense)
+    blk0 = bundle["params"]["encoder"]["blocks_0"]["attn"]["qkv"]
+    assert "kernel" not in blk0 and "bias" in blk0
+    out = serve.apply(as_variables(bundle), x)
+
+    d_ref = np.asarray(ref["depth"]).ravel()
+    d_q = np.asarray(out["depth"]).ravel()
+    assert np.isfinite(d_q).all()
+    c = np.corrcoef(d_q, d_ref)[0, 1]
+    assert c > 0.98, c
+
+
 def test_registry_int8_pipeline(monkeypatch, rng):
     """precision="int8" builds a serving pipeline whose output tracks the
     bf16 pipeline's (same converted params, same engine surface)."""
