@@ -89,6 +89,8 @@ QUANT_SUITE = [
     # the zoo's most compute-bound families — where int8 should pay most
     ("metric3d_v2", {"encoder": "vitl", "precision": "int8"}, (616, 1064)),
     ("depth_pro", {"precision": "int8"}, (1536, 1536)),
+    # largest weight footprint (~1B): int8 halves resident+streamed weights
+    ("vggt", {"depth_only": True, "precision": "int8"}, (518, 518)),
 ]
 
 

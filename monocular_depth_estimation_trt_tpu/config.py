@@ -93,8 +93,8 @@ def compute_dtype(precision: str):
         raise ValueError(
             "this model family has no int8 serving path (supported: the "
             "Depth-Anything family, depth_anything_v3, depth_pro, "
-            "unidepth_v2/unik3d, metric3d_v2, moge2/metric_anything); "
-            "use bf16/fp16/fp32 here"
+            "unidepth_v2/unik3d, metric3d_v2, moge2/metric_anything, "
+            "vggt/streamvggt, map_anything); use bf16/fp16/fp32 here"
         )
     return {
         "fp32": jnp.float32,

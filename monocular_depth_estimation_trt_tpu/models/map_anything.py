@@ -88,11 +88,14 @@ class MapAnything(nn.Module):
     cfg: VGGTConfig = VGGTConfig()
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the VGGT aggregator (ops/quant.py); the dense/
+    # camera/scale heads stay full-precision
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, views: jax.Array) -> Dict[str, jax.Array]:
         agg, patch_hw = Aggregator(self.cfg, self.dtype, self.attn_impl,
-                                   name="aggregator")(views)
+                                   quant=self.quant, name="aggregator")(views)
         num_special = 1 + self.cfg.num_register_tokens
         ray, dar, conf, logits = MapAnythingDenseHead(
             features=self.cfg.head_features,

@@ -42,6 +42,7 @@ import numpy as np
 
 from monocular_depth_estimation_trt_tpu.models.dpt import DPTHead
 from monocular_depth_estimation_trt_tpu.models.vit import DinoViT, LayerScale, Mlp
+from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
 
 
 def rope_2d_freqs(ph: int, pw: int, head_dim: int, base: float = 100.0):
@@ -78,13 +79,16 @@ class RopeAttention(nn.Module):
     num_special: int
     grid_hw: Tuple[int, int]
     dtype: Any = jnp.bfloat16
+    # int8 w8a8 serving for qkv/proj (ops/quant.py); "none"|"calib"|"serve"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, views: int = 1,
                  causal: bool = False) -> jax.Array:
         b, n, _ = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = make_dense(self.quant, self.dim * 3, dtype=self.dtype,
+                         name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, d)
@@ -128,7 +132,8 @@ class RopeAttention(nn.Module):
             p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
             o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+        return make_dense(self.quant, self.dim, dtype=self.dtype,
+                          name="proj")(o)
 
 
 class AASubBlock(nn.Module):
@@ -139,16 +144,19 @@ class AASubBlock(nn.Module):
     num_special: int
     grid_hw: Tuple[int, int]
     dtype: Any = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, views: int = 1,
                  causal: bool = False) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = RopeAttention(self.dim, self.num_heads, self.num_special,
-                          self.grid_hw, self.dtype, name="attn")(h, views, causal)
+                          self.grid_hw, self.dtype, quant=self.quant,
+                          name="attn")(h, views, causal)
         x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name="mlp")(h)
+        h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, quant=self.quant,
+                name="mlp")(h)
         x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls2")(h)
         return x
 
@@ -180,6 +188,10 @@ class Aggregator(nn.Module):
     cfg: VGGTConfig = VGGTConfig()
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # int8 w8a8 serving for the DINOv2 extractor + alternating-attention
+    # Dense layers (ops/quant.py) — ~1B params: int8 halves the weight
+    # traffic AND doubles MXU TOPS on the compute-bound end
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, views: jax.Array):
@@ -197,13 +209,13 @@ class Aggregator(nn.Module):
             out_indices=(vit_cfg.depth - 1,),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="patch_embed",
         )(flat)
         patch_tokens = feats[0][0]  # (B*S, ph*pw, 1024)
         if patch_tokens.shape[-1] != c.dim:
-            patch_tokens = nn.Dense(c.dim, dtype=self.dtype, name="input_proj")(
-                patch_tokens
-            )
+            patch_tokens = make_dense(self.quant, c.dim, dtype=self.dtype,
+                                      name="input_proj")(patch_tokens)
 
         camera_token = self.param(
             "camera_token", nn.initializers.normal(0.02), (1, 1, c.dim)
@@ -233,12 +245,14 @@ class Aggregator(nn.Module):
         for i in range(c.depth):
             # frame attention: within each view
             x = AASubBlock(c.dim, c.num_heads, num_special, (ph, pw),
-                           self.dtype, name=f"frame_{i}")(x, views=1)
+                           self.dtype, quant=self.quant,
+                           name=f"frame_{i}")(x, views=1)
             frame_out = x
             # global attention: across all views of a batch element
             xg = x.reshape(b, s * n_view, c.dim)
             xg = AASubBlock(c.dim, c.num_heads, num_special, (ph, pw),
-                            self.dtype, name=f"global_{i}")(
+                            self.dtype, quant=self.quant,
+                            name=f"global_{i}")(
                 xg, views=s, causal=c.causal)
             x = xg.reshape(b * s, n_view, c.dim)
             if i in head_set:
@@ -492,11 +506,14 @@ class VGGT(nn.Module):
     attn_impl: str = "auto"
     with_camera: bool = True
     with_point_head: bool = False
+    # int8 w8a8 serving for the aggregator (ops/quant.py); the DPT/camera
+    # heads stay bf16 (conv-dominated / tiny)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, views: jax.Array):
         agg, patch_hw = Aggregator(self.cfg, self.dtype, self.attn_impl,
-                                   name="aggregator")(views)
+                                   quant=self.quant, name="aggregator")(views)
         num_special = 1 + self.cfg.num_register_tokens
         depth, conf = VGGTDepthHead(
             features=self.cfg.head_features,

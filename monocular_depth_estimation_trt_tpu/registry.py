@@ -144,7 +144,8 @@ def _int8_bundle(model, params, spec, params_name, make_sample, *,
 
 
 def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
-                make_sample, input_size, calib_images=None):
+                make_sample, input_size, calib_images=None,
+                allowed_unconsumed=None):
     """Shared param resolution for builders with an int8 path: resolve the
     full-precision tree (cache -> checkpoint -> random; int8 shares the bf16
     artifact — only the compiled engine differs), then, when quantizing,
@@ -171,6 +172,7 @@ def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
         params = get_or_convert_params(
             params_name, params_model, example,
             torch_ckpt=checkpoint, converter=converter,
+            allowed_unconsumed=allowed_unconsumed,
         )
     if quant:
         params = _int8_bundle(
@@ -211,7 +213,6 @@ def _build_da_family(
     from monocular_depth_estimation_trt_tpu.weights.convert import (
         convert_depth_anything_v2,
     )
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     if max_depth is None:
         # hypersim (indoor) 20 m, vkitti (outdoor) 80 m
@@ -346,7 +347,6 @@ def depth_anything_v3(
         to_float_rgb,
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize, resize_hw
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     spec = ModelSpec(
         model="da3metric",
@@ -415,7 +415,6 @@ def depth_pro(
         to_float_rgb,
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize, resize_hw
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     size = 1536
     spec = ModelSpec(model="depth_pro", input_hw=(size, size), precision=precision)
@@ -484,7 +483,6 @@ def _build_geometric(
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize
     from monocular_depth_estimation_trt_tpu.weights.convert import convert_geometric
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     spec = ModelSpec(
         model=model_name,
@@ -582,7 +580,6 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
     from monocular_depth_estimation_trt_tpu.weights.convert import (
         convert_metric3d_v2,
     )
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     canvas = (616, 1064)
     spec = ModelSpec(
@@ -649,7 +646,6 @@ def _build_moge(
         to_float_rgb,
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
 
     spec = ModelSpec(
         model=model_name,
@@ -823,16 +819,20 @@ def _build_vggt(
         preprocess_pad_square,
     )
     from monocular_depth_estimation_trt_tpu.ops.postprocess import upsample_depth
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+    from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
 
     cfg = vggt_cfg or VGGTConfig()
     spec = ModelSpec(
         model=model_name, input_hw=(input_size, input_size), precision=precision,
         metric=True,
     )
+    # int8 = w8a8 aggregator serving (ops/quant.py): the ~1B-param
+    # alternating-attention trunk is the zoo's largest weight footprint
+    quant = precision == "int8"
     model = VGGT(
-        cfg=cfg, dtype=compute_dtype(precision), attn_impl=attn_impl,
-        with_camera=with_camera,
+        cfg=cfg, dtype=compute_dtype("bf16" if quant else precision),
+        attn_impl=attn_impl, with_camera=with_camera,
+        quant="serve" if quant else "none",
     )
 
     def forward(p, img_u8, out_hw):
@@ -840,7 +840,7 @@ def _build_vggt(
         # pad to square (white), resize to 518, normalize
         # (reference VGGT/onnx2trt.py:80-110)
         x = preprocess_pad_square(img_u8, input_size)  # (1, 518, 518, 3)
-        out = model.apply({"params": p}, x[:, None])  # S=1
+        out = model.apply(as_variables(p), x[:, None])  # S=1
         depth_sq = out["depth"][:, 0]  # (1, 518, 518)
         conf_sq = out["depth_conf"][:, 0]
         # crop the padding out (reference onnx2trt.py:184-189)
@@ -863,19 +863,23 @@ def _build_vggt(
             )
         return result
 
-    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
-    if params is None:
-        from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
+    from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS
 
-        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(
-                convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
-                with_camera=with_camera,
-            ),
-            allowed_unconsumed=allowed_unconsumed,
-        )
+    vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+    example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(
+            convert_vggt, vit_depth=vit_cfg.depth, depth=cfg.depth,
+            with_camera=with_camera,
+        ),
+        # S=1 calibration views (the activation ranges are per-layer, not
+        # per-view — S>1 serving reuses the same scales)
+        make_sample=lambda img: preprocess_pad_square(img, input_size)[:, None],
+        input_size=input_size,
+        allowed_unconsumed=allowed_unconsumed,
+    )
 
     class VGGTPipeline(DepthPipeline):
         """Adds the multi-view (S-axis) protocol the reference could not
@@ -890,7 +894,7 @@ def _build_vggt(
             if key not in self._engines:
                 def run(p, views_u8):
                     x = preprocess_pad_square(views_u8, input_size)
-                    out = model.apply({"params": p}, x[None])
+                    out = model.apply(as_variables(p), x[None])
                     res = {"depth": out["depth"][0],
                            "depth_conf": out["depth_conf"][0]}
                     if with_camera:
@@ -1804,15 +1808,19 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
     from monocular_depth_estimation_trt_tpu.weights.convert import (
         convert_map_anything,
     )
-    from monocular_depth_estimation_trt_tpu.weights.store import get_or_convert_params
+
+    from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
 
     cfg = vggt_cfg or VGGTConfig()
     spec = ModelSpec(
         model="map_anything", input_hw=(input_size, input_size),
         precision=precision, metric=True,
     )
-    model = MapAnything(cfg=cfg, dtype=compute_dtype(precision),
-                        attn_impl=attn_impl)
+    quant = precision == "int8"  # w8a8 aggregator serving (ops/quant.py)
+    model = MapAnything(cfg=cfg,
+                        dtype=compute_dtype("bf16" if quant else precision),
+                        attn_impl=attn_impl,
+                        quant="serve" if quant else "none")
 
     def compose(out, rgb01):
         """Raw head outputs -> the reference's per-view output set
@@ -1871,7 +1879,7 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
     def forward(p, img_u8, out_hw):
         h0, w0 = out_hw
         x = preprocess_pad_square(img_u8, input_size)  # normalized square
-        out = model.apply({"params": p}, x[:, None])
+        out = model.apply(as_variables(p), x[:, None])
         full = compose(out, x[:, None])
         # standard pipeline contract on top: crop the pad-to-square border
         # (as the other VGGT-family pipelines do) before resampling depth
@@ -1892,14 +1900,16 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
                 "metric_scaling_factor": full["metric_scaling_factor"]}
 
     example = jnp.zeros((1, 1, input_size, input_size, 3), jnp.float32)
-    if params is None:
-        vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
-        params = get_or_convert_params(
-            spec.artifact_name(), model, example, torch_ckpt=checkpoint,
-            converter=functools.partial(
-                convert_map_anything, vit_depth=vit_cfg.depth, depth=cfg.depth,
-            ),
-        )
+    vit_cfg = cfg.vit_config or VIT_CONFIGS[cfg.encoder]
+    params = _params_for(
+        spec, model, example, quant=quant, params=params,
+        checkpoint=checkpoint,
+        converter=functools.partial(
+            convert_map_anything, vit_depth=vit_cfg.depth, depth=cfg.depth,
+        ),
+        make_sample=lambda img: preprocess_pad_square(img, input_size)[:, None],
+        input_size=input_size,
+    )
 
     class MapAnythingPipeline(DepthPipeline):
         def reconstruct(self, frames_u8):
@@ -1920,7 +1930,7 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
                     views = jax.vmap(
                         lambda f: preprocess_pad_square(f, input_size)[0]
                     )(fr)[None]
-                    out = model.apply({"params": p}, views)
+                    out = model.apply(as_variables(p), views)
                     return compose(out, views)
 
                 ex = jax.ShapeDtypeStruct(frames.shape, jnp.uint8)

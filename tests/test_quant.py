@@ -159,6 +159,70 @@ def test_metric3d_int8_quant(rng):
     assert c > 0.98, c
 
 
+def test_vggt_int8_quant(rng):
+    """VGGT (the zoo's largest weight footprint) quantizes through the
+    generic bundle path: alternating-attention qkv/proj/mlp + the DINOv2
+    extractor go int8; DPT/camera heads stay full-precision."""
+    from golden_specs import _vggt_cfg
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        as_variables,
+        quantize_model_bundle,
+    )
+
+    def mk(quant):
+        return VGGT(cfg=_vggt_cfg(), dtype=jnp.float32, attn_impl="xla",
+                    with_camera=True, quant=quant)
+
+    x = jnp.asarray(
+        rng.standard_normal((1, 2, 70, 70, 3)).astype(np.float32) * 0.3
+    )
+    base = mk("none")
+    params = base.init(jax.random.PRNGKey(3), x)["params"]
+    ref = base.apply({"params": params}, x)
+
+    serve = mk("serve")
+    bundle = quantize_model_bundle(serve, params, (x,))
+    agg = bundle["params"]["aggregator"]
+    assert "kernel" not in agg["frame_0"]["attn"]["qkv"]  # pruned
+    # heads stay full-precision: no q8 entries outside the aggregator
+    assert set(bundle["q8"].keys()) == {"aggregator"}
+    out = serve.apply(as_variables(bundle), x)
+
+    for key in ("depth", "pose_enc"):
+        r = np.asarray(ref[key]).ravel()
+        q = np.asarray(out[key]).ravel()
+        assert np.isfinite(q).all()
+        c = np.corrcoef(q, r)[0, 1]
+        assert c > 0.98, (key, c)
+
+
+def test_registry_vggt_int8_pipeline(rng):
+    """precision="int8" through the VGGT registry builder: single-image
+    forward and the S-view engine both serve the quantized bundle."""
+    from golden_specs import _vggt_cfg
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT
+    from monocular_depth_estimation_trt_tpu.registry import _build_vggt
+
+    cfg = _vggt_cfg()
+    base = VGGT(cfg=cfg, dtype=jnp.float32, attn_impl="xla", with_camera=True)
+    params = base.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 1, 70, 70, 3))
+    )["params"]
+    pipe = _build_vggt("vggt", 70, "int8", "xla", params, vggt_cfg=cfg)
+    assert "q8" in pipe.params
+
+    img = rng.integers(0, 255, (80, 90, 3), dtype=np.uint8)
+    out = pipe(img)
+    assert out["depth"].shape == (80, 90)
+    assert np.isfinite(out["depth"]).all()
+
+    views = rng.integers(0, 255, (2, 70, 70, 3), dtype=np.uint8)
+    mv = pipe.multi_view(views)
+    assert mv["depth"].shape == (2, 70, 70)
+    assert np.isfinite(np.asarray(mv["depth"])).all()
+
+
 def test_registry_int8_pipeline(monkeypatch, rng):
     """precision="int8" builds a serving pipeline whose output tracks the
     bf16 pipeline's (same converted params, same engine surface)."""
