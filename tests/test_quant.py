@@ -223,6 +223,41 @@ def test_registry_vggt_int8_pipeline(rng):
     assert np.isfinite(np.asarray(mv["depth"])).all()
 
 
+def test_int8_composes_with_tensor_parallel(rng):
+    """int8 serving + --device-mesh TP: the q8 collection's kernel_q shards
+    with the same column/row layout as the kernel it replaces (the TP rules
+    match by path; `attn/qkv/kernel` also matches `kernel_q`), and numerics
+    are preserved across the 8-device mesh."""
+    from golden_specs import _vggt_cfg
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT
+    from monocular_depth_estimation_trt_tpu.parallel.mesh import get_mesh
+    from monocular_depth_estimation_trt_tpu.registry import _build_vggt
+
+    cfg = _vggt_cfg()
+    base = VGGT(cfg=cfg, dtype=jnp.float32, attn_impl="xla", with_camera=True)
+    params = base.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 1, 70, 70, 3))
+    )["params"]
+    pipe = _build_vggt("vggt", 70, "int8", "xla", params, vggt_cfg=cfg)
+
+    img = rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
+    ref = np.asarray(pipe(img)["depth"])
+
+    mesh = get_mesh((1, 8), ("data", "model"))
+    pipe.apply_mesh(mesh)
+    kq = pipe.params["q8"]["aggregator"]["frame_0"]["attn"]["qkv"]["kernel_q"]
+    assert not kq.sharding.is_fully_replicated  # column-sharded over model
+
+    out = np.asarray(pipe(img)["depth"])
+    # the all-reduce reorders f32 partial sums; near an int8 rounding
+    # boundary that flips a quantization level, so bitwise equality is not
+    # expected — gate on near-perfect agreement instead
+    c = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999, c
+    rel = float(np.median(np.abs(out - ref)) / np.median(np.abs(ref)))
+    assert rel < 0.01, rel
+
+
 def test_registry_int8_pipeline(monkeypatch, rng):
     """precision="int8" builds a serving pipeline whose output tracks the
     bf16 pipeline's (same converted params, same engine surface)."""
