@@ -13,6 +13,11 @@ deps), designed around the TPU serving realities:
     lock contention, and a bounded queue turns overload into fast 503s
     instead of latency collapse (the FrameWorker discipline from
     ``apps/streaming.py``, request/response-shaped).
+  * optional dynamic batching (``--max-batch N``): the worker drains up to
+    N queued requests (waiting ``--batch-window-ms`` for stragglers) and
+    serves them as one padded power-of-two-bucket device launch — under
+    concurrent load batching is the MXU-utilization lever (docs/PERF.md),
+    and bucketing keeps the compiled-program count at log2(N)+1.
   * responses are ``.npz`` bytes (every array output of the pipeline, same
     payload the CLI writes) or a turbo-colorized JPEG.
 
@@ -59,15 +64,25 @@ class DepthServer:
     """
 
     def __init__(self, pipeline, input_hw: Optional[Tuple[int, int]] = None,
-                 max_queue: int = 32, timeout_s: float = 30.0):
+                 max_queue: int = 32, timeout_s: float = 30.0,
+                 max_batch: int = 1, batch_window_ms: float = 2.0):
         self.pipe = pipeline
         hw = input_hw or tuple(pipeline.spec.input_hw)
         self.input_hw = (int(hw[0]), int(hw[1]))
         self.timeout_s = timeout_s
+        # dynamic batching: the worker drains up to max_batch queued jobs
+        # (waiting batch_window_ms for stragglers) and serves them as ONE
+        # padded power-of-two-bucket device launch — under concurrent load
+        # this fills the MXU the way per-request launches cannot
+        # (docs/PERF.md batching table). max_batch=1 = per-request serving.
+        self.max_batch = max(int(max_batch), 1)
+        self.batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.started = time.time()
         self.requests = 0
         self.errors = 0
+        self.batches = 0
+        self.batched_jobs = 0
         self.lat_ms: list = []  # device-side latency, rolling
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -80,10 +95,47 @@ class DepthServer:
         t0 = time.time()
         h, w = self.input_hw
         self.pipe(np.zeros((h, w, 3), np.uint8), viz=True)
+        if self.max_batch > 1:  # largest bucket; intermediates compile lazily
+            self.pipe.batch_call(
+                np.zeros((self.max_batch, h, w, 3), np.uint8), viz=True
+            )
         dt = time.time() - t0
         log(f"server warmup: engine ready in {dt:.1f}s "
-            f"({self.pipe.spec.artifact_name()} @ {h}x{w})")
+            f"({self.pipe.spec.artifact_name()} @ {h}x{w}"
+            + (f", max_batch={self.max_batch}" if self.max_batch > 1 else "")
+            + ")")
         return dt
+
+    def _collect(self, first: _Job) -> list:
+        """Drain up to max_batch jobs, waiting batch_window_s for
+        stragglers once at least one job is in hand."""
+        batch = [first]
+        deadline = time.time() + self.batch_window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.time()
+            try:
+                batch.append(
+                    self.jobs.get(timeout=remaining)
+                    if remaining > 0 else self.jobs.get_nowait()
+                )
+            except queue.Empty:
+                break
+        return batch
+
+    def _serve_batch(self, jobs: list) -> None:
+        """One padded device launch for several jobs. Batch sizes bucket to
+        powers of two so at most log2(max_batch)+1 programs ever compile
+        (static shapes — no per-request recompiles)."""
+        frames = np.stack([j.frame for j in jobs])
+        bucket = 1
+        while bucket < len(jobs):
+            bucket *= 2
+        if bucket > len(jobs):  # pad with the last frame (rows discarded)
+            pad = np.repeat(frames[-1:], bucket - len(jobs), axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        out = self.pipe.batch_call(frames, viz=any(j.viz for j in jobs))
+        for i, job in enumerate(jobs):
+            job.result = {k: np.asarray(v)[i] for k, v in out.items()}
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -91,20 +143,30 @@ class DepthServer:
                 job = self.jobs.get(timeout=0.2)
             except queue.Empty:
                 continue
+            jobs = (self._collect(job) if self.max_batch > 1 else [job])
             t0 = time.time()
             try:
-                job.result = self.pipe(job.frame, viz=job.viz)
+                if len(jobs) == 1:
+                    job.result = self.pipe(job.frame, viz=job.viz)
+                else:
+                    self._serve_batch(jobs)
             except Exception as e:  # surface as 500, keep serving
-                job.error = f"{type(e).__name__}: {e}"
+                msg = f"{type(e).__name__}: {e}"
+                for j in jobs:
+                    j.error = msg
                 with self._lock:
-                    self.errors += 1
+                    self.errors += len(jobs)
             dt = (time.time() - t0) * 1e3
             with self._lock:
-                self.requests += 1
+                self.requests += len(jobs)
+                if len(jobs) > 1:
+                    self.batches += 1
+                    self.batched_jobs += len(jobs)
                 self.lat_ms.append(dt)
                 if len(self.lat_ms) > 1000:
                     self.lat_ms = self.lat_ms[-1000:]
-            job.done.set()
+            for j in jobs:
+                j.done.set()
 
     def start(self) -> "DepthServer":
         self._worker.start()
@@ -130,7 +192,12 @@ class DepthServer:
         with self._lock:
             lat = list(self.lat_ms)
             n, e = self.requests, self.errors
+            nb, bj = self.batches, self.batched_jobs
         out = {"requests": n, "errors": e, "queue_depth": self.jobs.qsize()}
+        if self.max_batch > 1:
+            out["max_batch"] = self.max_batch
+            out["batches"] = nb
+            out["avg_batch"] = round(bj / nb, 2) if nb else None
         if lat:
             out["avg_ms"] = round(float(np.mean(lat)), 2)
             out["p50_ms"] = round(float(np.percentile(lat, 50)), 2)
@@ -226,9 +293,11 @@ def make_handler(server: DepthServer):
 
 def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
           input_hw: Optional[Tuple[int, int]] = None,
-          max_queue: int = 32, warmup: bool = True) -> None:
+          max_queue: int = 32, warmup: bool = True,
+          max_batch: int = 1, batch_window_ms: float = 2.0) -> None:
     """Blocking entry point for ``mdet serve``."""
-    ds = DepthServer(pipeline, input_hw=input_hw, max_queue=max_queue)
+    ds = DepthServer(pipeline, input_hw=input_hw, max_queue=max_queue,
+                     max_batch=max_batch, batch_window_ms=batch_window_ms)
     if warmup:
         ds.warmup()
     ds.start()

@@ -622,7 +622,8 @@ def cmd_serve(args) -> int:
     pipe = build_pipeline(args.model, **kw)
     hw = (args.size, args.size) if args.size else None
     serve(pipe, host=args.host, port=args.port, input_hw=hw,
-          max_queue=args.max_queue)
+          max_queue=args.max_queue, max_batch=args.max_batch,
+          batch_window_ms=args.batch_window_ms)
     return 0
 
 
@@ -1042,6 +1043,13 @@ def build_parser() -> argparse.ArgumentParser:
                        help="served square input size (default: model spec)")
     serve.add_argument("--max-queue", type=int, default=32,
                        dest="max_queue")
+    serve.add_argument("--max-batch", type=int, default=1, dest="max_batch",
+                       help="dynamic batching: serve up to N queued requests "
+                       "per device launch (power-of-two buckets)")
+    serve.add_argument("--batch-window-ms", type=float, default=2.0,
+                       dest="batch_window_ms",
+                       help="how long to wait for straggler requests once "
+                       "one is in hand (only with --max-batch > 1)")
     serve.set_defaults(fn=cmd_serve)
 
     convert = sub.add_parser(

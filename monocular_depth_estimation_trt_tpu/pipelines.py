@@ -150,37 +150,50 @@ class DepthPipeline:
         return tree_get_chunked(out)
 
     # -- batched serving --------------------------------------------------
-    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int) -> Engine:
+    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int,
+                         with_viz: bool = False) -> Engine:
         """Engine over a frame batch (B, H, W, 3) via vmap of the per-frame
         program — the throughput-serving mode the reference lacks (its batch
         dim is pinned to 1 everywhere, SURVEY.md §2.1); on TPU batching is
-        the main MXU-utilization lever."""
-        key = (in_hw, "batch", batch)
+        the main MXU-utilization lever. ``with_viz`` fuses the colormap into
+        the batched program (dynamic-batching HTTP serving)."""
+        key = (in_hw, "batch", batch, with_viz)
         if key in self._engines:
             return self._engines[key]
 
-        batched = jax.vmap(self._forward, in_axes=(None, 0, None))
+        def one(params, img):
+            out = self._forward(params, img, in_hw)
+            if with_viz and self.viz != "none" and "depth" in out:
+                norm = (inverse_depth_normalize(out["depth"])
+                        if self.viz == "metric"
+                        else normalize_depth_for_viz(out["depth"]))
+                out["viz"] = turbo_colormap(norm)
+            return out
+
+        batched = jax.vmap(one, in_axes=(None, 0))
 
         def run(params, imgs):
-            return batched(params, imgs, in_hw)
+            return batched(params, imgs)
 
         example = jax.ShapeDtypeStruct((batch, in_hw[0], in_hw[1], 3), jnp.uint8)
         eng = Engine(
             run,
             (self.params, example),
-            name=f"{self.spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}_b{batch}",
+            name=(f"{self.spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}"
+                  f"_b{batch}" + ("_viz" if with_viz else "")),
         )
         self._engines[key] = eng
         return eng
 
-    def batch_call(self, frames: np.ndarray, *, device_out: bool = False):
+    def batch_call(self, frames: np.ndarray, *, viz: bool = False,
+                   device_out: bool = False):
         """frames: (B, H, W, 3) RGB uint8 -> dict of stacked outputs."""
         from monocular_depth_estimation_trt_tpu.runtime.transfer import (
             device_put_chunked,
         )
 
         b, h, w = frames.shape[:3]
-        eng = self.batch_engine_for((h, w), b)
+        eng = self.batch_engine_for((h, w), b, with_viz=viz)
         out = eng(self.params, device_put_chunked(np.asarray(frames)))
         if device_out:
             return out

@@ -825,6 +825,9 @@ def _build_vggt(
     spec = ModelSpec(
         model=model_name, input_hw=(input_size, input_size), precision=precision,
         metric=True,
+        # depth-only and with-camera variants have different param trees —
+        # they must not share one params/engine artifact name
+        variant="" if with_camera else "depth",
     )
     # int8 = w8a8 aggregator serving (ops/quant.py): the ~1B-param
     # alternating-attention trunk is the zoo's largest weight footprint

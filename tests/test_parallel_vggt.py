@@ -75,3 +75,12 @@ def test_batch_call_pipeline(rng):
     assert out["depth"].shape == (4, 16, 16)
     single = pipe(frames[0])
     assert np.allclose(out["depth"][0], single["depth"])
+
+    # batched viz (dynamic-batching HTTP serving): colormap fused into the
+    # batched program, per-frame results match the single-frame viz engine
+    pipe_v = DepthPipeline(spec, forward, {"scale": jnp.float32(2.0)},
+                           viz="relative")
+    out_v = pipe_v.batch_call(frames, viz=True)
+    assert out_v["viz"].shape == (4, 16, 16, 3) and out_v["viz"].dtype == np.uint8
+    single_v = pipe_v(frames[0], viz=True)
+    assert np.array_equal(out_v["viz"][0], single_v["viz"])

@@ -169,3 +169,96 @@ def test_cli_serve_parser():
                       "--port", "9000", "--size", "518"])
     assert a.fn.__name__ == "cmd_serve"
     assert a.port == 9000 and a.size == 518 and a.max_queue == 32
+
+
+class FakeBatchPipeline(FakePipeline):
+    """Adds the batch_call surface the dynamic-batching worker uses."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.batch_sizes = []
+
+    def batch_call(self, frames, viz=False, device_out=False):
+        self.batch_sizes.append(int(frames.shape[0]))
+        out = {
+            "depth": frames[..., 0].astype(np.float32) + 1.0,
+            "scalar": np.full((frames.shape[0],), 3.5, np.float32),
+        }
+        if viz:
+            out["viz"] = np.repeat(frames[..., :1], 3, axis=-1)
+        return out
+
+
+def test_dynamic_batching_groups_and_scatters(server_factory):
+    """Concurrent requests coalesce into one padded power-of-two device
+    launch; each response carries its own frame's result."""
+    pipe = FakeBatchPipeline()
+    base, ds = server_factory(pipe, max_batch=4, batch_window_ms=300.0)
+
+    bodies = {seed: _png_bytes(seed=seed) for seed in range(3)}
+    results = {}
+
+    def fire(seed):
+        resp = _post(f"{base}/v1/depth", bodies[seed], timeout=30)
+        results[seed] = np.load(io.BytesIO(resp.read()))
+
+    threads = [threading.Thread(target=fire, args=(s,)) for s in bodies]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    import cv2
+
+    for seed, data in results.items():
+        img = cv2.imdecode(np.frombuffer(bodies[seed], np.uint8),
+                           cv2.IMREAD_COLOR)
+        expect = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)[..., 0] + 1.0
+        assert np.allclose(data["depth"], expect)  # scattered correctly
+        assert float(data["scalar"]) == 3.5
+    # 3 jobs pad to the 4-bucket (unless a straggler missed the window)
+    assert pipe.batch_sizes and all(
+        b in (1, 2, 4) for b in pipe.batch_sizes
+    ), pipe.batch_sizes
+
+    s = json.load(urllib.request.urlopen(f"{base}/v1/stats", timeout=10))
+    assert s["requests"] == 3 and s["max_batch"] == 4
+
+
+def test_dynamic_batching_error_fails_whole_batch(server_factory):
+    class BoomBatch(FakeBatchPipeline):
+        def batch_call(self, frames, viz=False, device_out=False):
+            raise RuntimeError("batch on fire")
+
+        __call__ = None  # single-job path must not be taken with a queue>1
+
+    base, ds = server_factory(BoomBatch(), max_batch=4,
+                              batch_window_ms=300.0)
+    codes = []
+
+    def fire(seed):
+        try:
+            codes.append(_post(f"{base}/v1/depth", _png_bytes(seed=seed),
+                               timeout=30).status)
+        except urllib.error.HTTPError as e:
+            codes.append(e.code)
+
+    threads = [threading.Thread(target=fire, args=(s,)) for s in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert codes.count(500) >= 1, codes
+    # server keeps serving afterwards
+    assert json.load(
+        urllib.request.urlopen(f"{base}/v1/health", timeout=10)
+    )["status"] == "ok"
+
+
+def test_cli_serve_batching_flags():
+    from monocular_depth_estimation_trt_tpu.cli import build_parser
+
+    a = build_parser().parse_args(
+        ["serve", "depth_anything_v2", "--max-batch", "8",
+         "--batch-window-ms", "5"])
+    assert a.max_batch == 8 and a.batch_window_ms == 5.0
