@@ -261,6 +261,8 @@ def cmd_batch(args) -> int:
     kw = {"encoder": args.encoder} if args.encoder else {}
     if args.checkpoint:
         kw["checkpoint"] = args.checkpoint
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
 
     os.makedirs(args.out, exist_ok=True)
@@ -928,6 +930,10 @@ def build_parser() -> argparse.ArgumentParser:
     batch.add_argument("--out", default="results")
     batch.add_argument("--max-frames", type=int, default=0)
     batch.add_argument("--checkpoint", default="")
+    batch.add_argument("--precision", default="",
+                       choices=["", "bf16", "fp16", "fp32", "int8"],
+                       help="compute precision; int8 = w8a8 serving "
+                       "(ViT-backbone families)")
     batch.add_argument("--save", action="store_true",
                        help="write per-image npz+jpg (default: throughput "
                        "benchmark mode, outputs discarded)")

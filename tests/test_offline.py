@@ -112,6 +112,25 @@ def test_batch_cli_end_to_end(tmp_path, monkeypatch):
     assert d.shape == (16, 16) and np.isfinite(d).all()
 
 
+def test_batch_cli_precision_passthrough(tmp_path, monkeypatch):
+    """--precision flows into build_pipeline (int8 batched offline serving)."""
+    _write_images(tmp_path, 2)
+    from monocular_depth_estimation_trt_tpu import cli, registry
+
+    seen = {}
+
+    def fake_build(name, **kw):
+        seen.update(kw)
+        return _toy_pipeline()
+
+    monkeypatch.setattr(registry, "build_pipeline", fake_build)
+    rc = cli.main(["batch", "toy", "--images-dir", str(tmp_path),
+                   "--batch", "2", "--out", str(tmp_path / "o"),
+                   "--precision", "int8"])
+    assert rc == 0
+    assert seen.get("precision") == "int8"
+
+
 def test_batch_cli_rejects_ambiguous_inputs(tmp_path):
     from monocular_depth_estimation_trt_tpu import cli
 
