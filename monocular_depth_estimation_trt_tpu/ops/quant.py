@@ -18,10 +18,16 @@ artifacts (``kernel_q``, ``w_scale``, ``in_scale``) live in a separate
 ``q8`` flax collection built by :func:`build_q8` from a one-off
 calibration pass (``quant_stats`` sown absmax per layer).
 
-Accuracy: per-output-channel weight scales + per-layer activation scales
-is the standard w8a8 PTQ recipe (SmoothQuant-class without migration);
-``mdet eval``'s δ1/AbsRel metrics quantify the residual error against the
-bf16 graph (gated in ``tests/test_quant.py``).
+Accuracy: per-output-channel weight scales + SmoothQuant-style activation
+smoothing (Xiao et al. 2023). Per-tensor activation scales waste int8
+range on the few outlier channels ViT activations carry post-LN; instead
+each input channel is divided by ``s_j = absmax_x(j)^0.5 /
+absmax_W_row(j)^0.5`` with the inverse folded into the kernel BEFORE
+weight quantization. The serving graph pays nothing extra: the scalar
+pre-quant multiply simply becomes a per-channel vector ``qmul = 1/(s·a)``
+(one fused VPU multiply either way). ``mdet eval``'s δ1/AbsRel metrics
+quantify the residual error against the bf16 graph (gated in
+``tests/test_quant.py``).
 """
 
 from __future__ import annotations
@@ -40,11 +46,12 @@ class QuantDense(nn.Module):
 
     modes:
       * ``calib`` — compute in ``dtype`` exactly like ``nn.Dense`` while
-        sowing the running absmax of the input into the ``quant_stats``
-        collection (reduced with max across calls/batches);
-      * ``serve`` — static-scale int8: ``x → round(x/s_in) ∈ int8``,
+        sowing the running per-input-channel absmax of the input into the
+        ``quant_stats`` collection (reduced with max across calls/batches);
+      * ``serve`` — static-scale int8 with SmoothQuant smoothing folded in:
+        ``x → round(x·qmul) ∈ int8`` (``qmul`` per input channel),
         int8×int8 ``dot_general`` accumulating in int32 on the MXU, one
-        fused rescale ``int32 → f32 × (s_in·s_w)`` epilogue.
+        fused rescale ``int32 → f32 × out_scale`` epilogue.
 
     The ``kernel``/``bias`` params match ``nn.Dense`` exactly (converter/
     cache compatible); int8 weights + scales come from the ``q8``
@@ -77,28 +84,31 @@ class QuantDense(nn.Module):
         if self.mode == "calib":
             self.sow(
                 "quant_stats",
-                "absmax",
-                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                "absmax_ch",
+                jnp.max(
+                    jnp.abs(x), axis=tuple(range(x.ndim - 1))
+                ).astype(jnp.float32),
                 reduce_fn=jnp.maximum,
-                init_fn=lambda: jnp.zeros((), jnp.float32),
+                init_fn=lambda: jnp.zeros((d_in,), jnp.float32),
             )
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         else:
-            in_scale = self.variable(
-                "q8", "in_scale", lambda: jnp.ones((), jnp.float32)
+            # qmul = 1/(s·a): SmoothQuant per-channel smoothing s and the
+            # post-smoothing activation scale a, pre-combined (build_q8)
+            qmul = self.variable(
+                "q8", "qmul", lambda: jnp.ones((d_in,), jnp.float32)
             ).value
             kernel_q = self.variable(
                 "q8",
                 "kernel_q",
                 lambda: jnp.zeros((d_in, self.features), jnp.int8),
             ).value
-            w_scale = self.variable(
-                "q8", "w_scale", lambda: jnp.ones((self.features,), jnp.float32)
+            out_scale = self.variable(
+                "q8", "out_scale",
+                lambda: jnp.ones((self.features,), jnp.float32)
             ).value
             x_q = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * (1.0 / in_scale)),
-                -_QMAX,
-                _QMAX,
+                jnp.round(x.astype(jnp.float32) * qmul), -_QMAX, _QMAX
             ).astype(jnp.int8)
             y = jax.lax.dot_general(
                 x_q,
@@ -106,7 +116,7 @@ class QuantDense(nn.Module):
                 (((x_q.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            y = y.astype(jnp.float32) * (in_scale * w_scale)
+            y = y.astype(jnp.float32) * out_scale
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y.astype(self.dtype)
@@ -158,12 +168,19 @@ def build_q8(q8_struct: Dict, params: Dict, stats: Dict) -> Dict:
     """Fill a ``q8`` collection from params + calibration stats.
 
     ``q8_struct``: the structure from ``model.init`` (serve mode) — a tree
-    whose QuantDense leaves hold ``{in_scale, kernel_q, w_scale}``; only its
+    whose QuantDense leaves hold ``{qmul, kernel_q, out_scale}``; only its
     *keys* are read, so the ``jax.eval_shape`` result works directly (no
     materialization). ``params``/``stats`` are indexed by the same module
-    paths. absmax==0 (layer never fired during calibration) falls back to
-    scale 1. The whole quantization runs as ONE jitted program — eagerly it
-    would be ~4 dispatches per Dense layer, seconds each over a remote
+    paths.
+
+    Per leaf (SmoothQuant α=0.5, Xiao et al. 2023): smoothing
+    ``s_j = absmax_x(j)^0.5 / absmax_Wrow(j)^0.5`` moves activation
+    outliers into the weights; the smoothed kernel ``s·W`` quantizes
+    per-output-channel; the post-smoothing activation scale is
+    ``a = max_j(absmax_x(j)/s_j)/127``. Channels that never fired
+    (absmax 0) smooth with s=1; a layer that never fired serves with
+    a=1. The whole quantization runs as ONE jitted program — eagerly it
+    would be ~6 dispatches per Dense layer, seconds each over a remote
     device link (CLAUDE.md).
     """
 
@@ -178,13 +195,24 @@ def build_q8(q8_struct: Dict, params: Dict, stats: Dict) -> Dict:
 
     def walk(qnode: Dict, pnode: Dict, snode: Dict) -> Dict:
         if "kernel_q" in qnode:  # a QuantDense leaf group
-            kernel_q, w_scale = quantize_weight(pnode["kernel"])
-            absmax = jnp.asarray(snode["absmax"], jnp.float32).reshape(())
-            in_scale = jnp.where(absmax > 0, absmax / _QMAX, 1.0)
+            kernel = jnp.asarray(pnode["kernel"], jnp.float32)
+            ch = jnp.asarray(snode["absmax_ch"], jnp.float32).reshape(
+                kernel.shape[0]
+            )
+            w_row = jnp.max(jnp.abs(kernel), axis=1)  # (d_in,)
+            s = jnp.where(
+                (ch > 0) & (w_row > 0),
+                jnp.sqrt(ch) / jnp.sqrt(jnp.maximum(w_row, 1e-12)),
+                1.0,
+            )
+            s = jnp.clip(s, 1e-4, 1e4)
+            kernel_q, w_scale = quantize_weight(s[:, None] * kernel)
+            smoothed_max = jnp.max(ch / s)  # = max_j sqrt(ch_j * w_row_j)
+            a = jnp.where(smoothed_max > 0, smoothed_max / _QMAX, 1.0)
             return {
-                "in_scale": in_scale,
+                "qmul": 1.0 / (s * a),
                 "kernel_q": kernel_q,
-                "w_scale": w_scale,
+                "out_scale": a * w_scale,
             }
         return {key: walk(sub, pnode[key], snode.get(key, {}))
                 for key, sub in qnode.items()}

@@ -139,7 +139,10 @@ def _int8_bundle(model, params, spec, params_name, make_sample, *,
 
     return quantize_model_bundle(
         model, params, samples,
-        cache_name=spec.artifact_name() + "_q8", cacheable=cacheable,
+        # v2: SmoothQuant-smoothed scheme ({qmul, kernel_q, out_scale}) —
+        # versioned so pre-smoothing cached scale artifacts cannot
+        # structurally collide (the ADVICE round-2 lesson)
+        cache_name=spec.artifact_name() + "_q8v2", cacheable=cacheable,
     )
 
 

@@ -47,6 +47,43 @@ def test_quant_dense_matches_fp32(rng):
     assert rel < 0.05, rel
 
 
+def test_smoothquant_beats_per_tensor_on_outlier_channels(rng):
+    """The SmoothQuant smoothing in build_q8 must beat a plain per-tensor
+    activation scale on ViT-like outlier-channel inputs (the case it
+    exists for). Measured ~4x lower relative error at 30x outliers."""
+    from monocular_depth_estimation_trt_tpu.ops.quant import _QMAX
+
+    d_in, d_out = 128, 256
+    x = rng.standard_normal((64, d_in)).astype(np.float32)
+    x[:, :4] *= 30.0  # post-LN outlier channels
+    x = jnp.asarray(x)
+    calib_m = QuantDense(d_out, mode="calib", dtype=jnp.float32)
+    serve_m = QuantDense(d_out, mode="serve", dtype=jnp.float32)
+    params = calib_m.init(jax.random.PRNGKey(0), x)["params"]
+    stats = calibrate(calib_m, {"params": params}, x)
+    q8s = jax.eval_shape(serve_m.init, jax.random.PRNGKey(0), x)["q8"]
+    q8 = build_q8(q8s, params, stats)
+    y_f = calib_m.apply({"params": params}, x)
+    y_s = serve_m.apply({"params": params, "q8": q8}, x)
+
+    # plain per-tensor baseline: s = 1 everywhere
+    ch = jnp.asarray(
+        stats["absmax_ch"][0]
+        if isinstance(stats["absmax_ch"], tuple) else stats["absmax_ch"]
+    ).reshape(d_in)
+    a = jnp.max(ch) / _QMAX
+    kq, ws = quantize_weight(params["kernel"])
+    q8_plain = {"qmul": jnp.full((d_in,), 1.0 / a), "kernel_q": kq,
+                "out_scale": a * ws}
+    y_p = serve_m.apply({"params": params, "q8": q8_plain}, x)
+
+    def rel(y):
+        return float(jnp.linalg.norm(y - y_f) / jnp.linalg.norm(y_f))
+
+    assert rel(y_s) < 0.02, rel(y_s)
+    assert rel(y_s) < rel(y_p) / 2.0, (rel(y_s), rel(y_p))
+
+
 def _tiny_da(quant):
     from monocular_depth_estimation_trt_tpu.models.depth_anything_v2 import (
         DepthAnythingV2,
