@@ -361,6 +361,8 @@ def cmd_video(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     kw = {"encoder": args.encoder} if args.encoder else {}
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.video))[0]
@@ -468,6 +470,8 @@ def cmd_webcam(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     kw = {"encoder": args.encoder} if args.encoder else {}
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
     pipe = build_pipeline(args.model, **kw)
     camera = args.camera
     if camera.isdigit():
@@ -509,7 +513,11 @@ def cmd_views(args) -> int:
 
     size = args.resize or 518
     imgs = [cv2.resize(_load_image(p), (size, size)) for p in args.images]
-    pipe = build_pipeline(args.model)
+    kw = (
+        {"precision": args.precision}
+        if getattr(args, "precision", "") else {}
+    )
+    pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
     if not hasattr(pipe, "multi_view"):
         log(f"{args.model} has no multi-view protocol", tag="ERROR")
@@ -975,6 +983,10 @@ def build_parser() -> argparse.ArgumentParser:
     video.add_argument("--video", required=True)
     video.add_argument("--out", default="results")
     video.add_argument("--max-frames", type=int, default=0)
+    video.add_argument("--precision", default="",
+                       choices=["", "bf16", "fp16", "fp32", "int8"],
+                       help="compute precision; int8 = w8a8 serving "
+                       "(ViT-backbone families)")
     video.set_defaults(fn=cmd_video)
 
     track = sub.add_parser("track", help="online point tracking over a video")
@@ -994,6 +1006,10 @@ def build_parser() -> argparse.ArgumentParser:
     views.add_argument("--resize", type=int, default=0,
                        help="square side for every view (default 518)")
     views.add_argument("--device-mesh", default="", dest="device_mesh")
+    views.add_argument("--precision", default="",
+                       choices=["", "bf16", "fp16", "fp32", "int8"],
+                       help="compute precision; int8 = w8a8 serving "
+                       "(ViT-backbone families)")
     views.set_defaults(fn=cmd_views)
 
     pair = sub.add_parser("pair",
@@ -1010,6 +1026,10 @@ def build_parser() -> argparse.ArgumentParser:
     webcam.add_argument("--encoder", default="")
     webcam.add_argument("--camera", default="0",
                         help="device index or IP camera URL")
+    webcam.add_argument("--precision", default="",
+                        choices=["", "bf16", "fp16", "fp32", "int8"],
+                        help="compute precision; int8 = w8a8 serving "
+                        "(ViT-backbone families)")
     webcam.set_defaults(fn=cmd_webcam)
 
     build = sub.add_parser("build", help="pre-build an engine (AOT compile)")
