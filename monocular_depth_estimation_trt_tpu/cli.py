@@ -93,6 +93,22 @@ def _apply_device_mesh(pipe, mesh_str: str):
     return pipe.apply_mesh(mesh)
 
 
+def _calib_images_from(args):
+    """--calib-dir: load up to 8 domain images for int8 activation-scale
+    calibration (default: the bundled example + synthetic textures,
+    registry._calibration_images). Returns None when the flag is absent."""
+    d = getattr(args, "calib_dir", "")
+    if not d:
+        return None
+    from monocular_depth_estimation_trt_tpu.utils.files import list_images
+
+    paths = list_images(d)[:8]
+    if not paths:
+        raise SystemExit(f"[MDET] --calib-dir {d}: no images found")
+    log(f"int8 calibration on {len(paths)} images from {d}")
+    return [_load_image(p) for p in paths]
+
+
 def cmd_run(args) -> int:
     import cv2
 
@@ -113,6 +129,9 @@ def cmd_run(args) -> int:
         kw["checkpoint"] = args.checkpoint
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
 
@@ -263,6 +282,9 @@ def cmd_batch(args) -> int:
         kw["checkpoint"] = args.checkpoint
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
 
     os.makedirs(args.out, exist_ok=True)
@@ -629,6 +651,9 @@ def cmd_serve(args) -> int:
         kw["checkpoint"] = args.checkpoint
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
     hw = (args.size, args.size) if args.size else None
     serve(pipe, host=args.host, port=args.port, input_hw=hw,
@@ -908,6 +933,9 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["", "bf16", "fp16", "fp32", "int8"],
                      help="compute precision; int8 = statically-calibrated "
                      "w8a8 encoder serving (ViT-backbone families)")
+    run.add_argument("--calib-dir", default="", dest="calib_dir",
+                   help="directory of domain images for int8 "
+                   "activation-scale calibration")
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")
@@ -942,6 +970,9 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["", "bf16", "fp16", "fp32", "int8"],
                        help="compute precision; int8 = w8a8 serving "
                        "(ViT-backbone families)")
+    batch.add_argument("--calib-dir", default="", dest="calib_dir",
+                     help="directory of domain images for int8 "
+                     "activation-scale calibration")
     batch.add_argument("--save", action="store_true",
                        help="write per-image npz+jpg (default: throughput "
                        "benchmark mode, outputs discarded)")
@@ -1069,6 +1100,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="served square input size (default: model spec)")
     serve.add_argument("--max-queue", type=int, default=32,
                        dest="max_queue")
+    serve.add_argument("--calib-dir", default="", dest="calib_dir",
+                     help="directory of domain images for int8 "
+                     "activation-scale calibration")
     serve.add_argument("--max-batch", type=int, default=1, dest="max_batch",
                        help="dynamic batching: serve up to N queued requests "
                        "per device launch (power-of-two buckets)")

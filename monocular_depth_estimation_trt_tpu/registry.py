@@ -334,6 +334,7 @@ def depth_anything_v3(
     attn_impl: str = "auto",
     params: Any = None,
     checkpoint: Optional[str] = None,
+    calib_images: Optional[Any] = None,
     **kw,
 ) -> DepthPipeline:
     """DA3METRIC-LARGE contract: metric depth + sky mask
@@ -388,6 +389,7 @@ def depth_anything_v3(
         converter=functools.partial(convert_depth_anything_v3,
                                     encoder=encoder),
         make_sample=preprocess, input_size=input_size,
+        calib_images=calib_images,
     )
     return DepthPipeline(spec, forward, params, viz="metric")
 
@@ -399,6 +401,7 @@ def depth_pro(
     params: Any = None,
     f_px: Optional[float] = None,
     checkpoint: Optional[str] = None,
+    calib_images: Optional[Any] = None,
     **kw,
 ) -> DepthPipeline:
     """Apple Depth Pro serving contract (reference ``Depth_Pro/onnx2trt.py``):
@@ -455,6 +458,7 @@ def depth_pro(
         spec, model, example, quant=quant, params=params,
         checkpoint=checkpoint, converter=convert_depth_pro,
         make_sample=preprocess, input_size=size,
+        calib_images=calib_images,
     )
     return DepthPipeline(spec, forward, params, viz="metric")
 
@@ -474,6 +478,7 @@ def _build_geometric(
     attn_impl: str,
     params: Any,
     checkpoint: Optional[str] = None,
+    calib_images: Optional[Any] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
@@ -535,6 +540,7 @@ def _build_geometric(
         converter=functools.partial(convert_geometric, encoder=encoder,
                                     mode=mode),
         make_sample=preprocess, input_size=input_size,
+        calib_images=calib_images,
     )
     return DepthPipeline(spec, forward, params, viz="metric")
 
@@ -547,7 +553,8 @@ def unidepth_v2(encoder: str = "vitb", input_size: int = 518,
     """UniDepth V2: metric points + confidence + predicted intrinsics
     (reference ``Uni_Depth_V2/``)."""
     return _build_geometric("unidepth_v2", "unidepth", encoder, input_size,
-                            precision, attn_impl, params, checkpoint)
+                            precision, attn_impl, params, checkpoint,
+                            calib_images=kw.get("calib_images"))
 
 
 @register("unik3d", fidelity="converter-verified")
@@ -558,14 +565,16 @@ def unik3d(encoder: str = "vitb", input_size: int = 518,
     """UniK3D: universal-camera 3D — unit rays x distance
     (reference ``UniK3D/``)."""
     return _build_geometric("unik3d", "unik3d", encoder, input_size,
-                            precision, attn_impl, params, checkpoint)
+                            precision, attn_impl, params, checkpoint,
+                            calib_images=kw.get("calib_images"))
 
 
 @register("metric3d_v2", fidelity="converter-verified")
 def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
                 attn_impl: str = "auto", params: Any = None,
                 focal: Optional[float] = None, iters: int = 4,
-                checkpoint: Optional[str] = None, **kw) -> DepthPipeline:
+                checkpoint: Optional[str] = None,
+                calib_images: Optional[Any] = None, **kw) -> DepthPipeline:
     """Metric3D V2: canonical-camera metric depth (+ normals) at 616x1064
     with keep-ratio mean-pad preprocessing and de-canonical focal scaling
     (reference ``Metric3D_V2/infer.py:73-125``, ``onnx2trt.py:176-190``).
@@ -620,6 +629,7 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         converter=functools.partial(convert_metric3d_v2, encoder=encoder),
         make_sample=lambda img: preprocess_keep_ratio_pad(img, canvas)[0],
         input_size=canvas,
+        calib_images=calib_images,
     )
     return DepthPipeline(spec, forward, params, viz="metric")
 
@@ -634,6 +644,7 @@ def _build_moge(
     params: Any,
     predict_normal: bool = True,
     checkpoint: Optional[str] = None,
+    calib_images: Optional[Any] = None,
 ) -> DepthPipeline:
     import jax.numpy as jnp
 
@@ -719,6 +730,7 @@ def _build_moge(
         converter=functools.partial(convert_moge2, encoder=encoder,
                                     predict_normal=predict_normal),
         make_sample=preprocess, input_size=tuple(input_hw),
+        calib_images=calib_images,
     )
 
     class _SplitEngine:
@@ -775,7 +787,8 @@ def moge2(encoder: str = "vits", input_hw: tuple = (291, 518),
     (reference ``MoGe_2/``)."""
     return _build_moge("moge2", encoder, input_hw, num_tokens, precision,
                        attn_impl, params, predict_normal=True,
-                       checkpoint=checkpoint)
+                       checkpoint=checkpoint,
+                       calib_images=kw.get("calib_images"))
 
 
 @register("metric_anything", fidelity="converter-verified")
@@ -789,7 +802,8 @@ def metric_anything(encoder: str = "vitl", input_hw: tuple = (518, 518),
     ``onnx_export.py:23``); no normal head (outputs points/mask/metric_scale,
     ``onnx_export.py:73-74``)."""
     return _build_moge("metric_anything", encoder, input_hw, num_tokens,
-                       precision, attn_impl, params, predict_normal=False)
+                       precision, attn_impl, params, predict_normal=False,
+                       calib_images=kw.get("calib_images"))
 
 
 # ---------------------------------------------------------------------------
@@ -807,6 +821,7 @@ def _build_vggt(
     with_camera: bool = True,
     checkpoint: Optional[str] = None,
     allowed_unconsumed: Optional[str] = None,
+    calib_images: Optional[Any] = None,
 ) -> DepthPipeline:
     import jax
     import jax.numpy as jnp
@@ -885,6 +900,7 @@ def _build_vggt(
         make_sample=lambda img: preprocess_pad_square(img, input_size)[:, None],
         input_size=input_size,
         allowed_unconsumed=allowed_unconsumed,
+        calib_images=calib_images,
     )
 
     class VGGTPipeline(DepthPipeline):
@@ -962,7 +978,8 @@ def vggt(input_size: int = 518, precision: str = "bf16", attn_impl: str = "auto"
     aggregator + single 2-channel DPT depth head + iterative adaLN camera
     head, single- or multi-view (parity-gated vs the torch mirror)."""
     return _build_vggt("vggt", input_size, precision, attn_impl, params,
-                       with_camera=not depth_only, checkpoint=checkpoint)
+                       with_camera=not depth_only, checkpoint=checkpoint,
+                       calib_images=kw.get("calib_images"))
 
 
 @register("streamvggt", fidelity="converter-verified")
@@ -975,7 +992,8 @@ def streamvggt(input_size: int = 518, precision: str = "bf16",
     reference could NOT export) is ``apps.streaming.VGGTStreamingSession``
     over the same weights (``models/streamvggt.py``)."""
     return _build_vggt("streamvggt", input_size, precision, attn_impl, params,
-                       with_camera=False, checkpoint=checkpoint)
+                       with_camera=False, checkpoint=checkpoint,
+                       calib_images=kw.get("calib_images"))
 
 
 @register("sidepth", fidelity="converter-verified")
@@ -1915,6 +1933,7 @@ def map_anything(input_size: int = 518, precision: str = "bf16",
         ),
         make_sample=lambda img: preprocess_pad_square(img, input_size)[:, None],
         input_size=input_size,
+        calib_images=kw.get("calib_images"),
     )
 
     class MapAnythingPipeline(DepthPipeline):

@@ -143,6 +143,64 @@ def test_prune_quantized_kernels(rng):
     assert np.isfinite(np.asarray(y_q)).all()
 
 
+def test_calib_images_accepted_by_every_int8_family():
+    """Every family with an int8 path accepts calib_images (the --calib-dir
+    CLI plumbing): domain-image calibration must not be DA-only."""
+    import inspect
+
+    from monocular_depth_estimation_trt_tpu import registry
+
+    for name in ("depth_anything_v2", "distill_any_depth",
+                 "depth_anything_ac", "depth_anything_v3", "depth_pro",
+                 "unidepth_v2", "unik3d", "metric3d_v2", "moge2",
+                 "metric_anything", "vggt", "streamvggt", "map_anything"):
+        fn = getattr(registry, name)
+        sig = inspect.signature(fn)
+        src = inspect.getsource(fn)
+        # explicit param, explicit forward, or blind **kw passthrough to a
+        # _build helper that takes it
+        ok = ("calib_images" in sig.parameters
+              or "calib_images" in src
+              or ("**kw" in src and any(
+                  p.kind is inspect.Parameter.VAR_KEYWORD
+                  for p in sig.parameters.values())))
+        assert ok, f"{name} does not plumb calib_images"
+
+
+def test_registry_int8_custom_calib_images(monkeypatch, rng):
+    """build_pipeline(..., calib_images=[...]) calibrates on the given
+    domain images (scales differ from the default set; output still tracks
+    fp32)."""
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(vit_config=cfg, head_features=16,
+                  head_out_channels=(8, 16, 32, 32), out_indices=(0, 1, 0, 1))
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    m = tiny(dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 56, 56, 3)))["params"]
+    domain = [rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+              for _ in range(2)]
+    pipe = build_pipeline("depth_anything_v2", encoder="vits",
+                          precision="int8", input_size=56, params=params,
+                          calib_images=domain)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    out = pipe(img)["depth"]
+    assert np.isfinite(out).all()
+
+    pipe_f = build_pipeline("depth_anything_v2", encoder="vits",
+                            precision="fp32", input_size=56, params=params)
+    c = np.corrcoef(out.ravel(), pipe_f(img)["depth"].ravel())[0, 1]
+    assert c > 0.98, c
+
+
 def test_int8_unsupported_family_clear_error():
     """precision='int8' on a family without a quant path raises a clear
     ValueError (not a raw KeyError) from compute_dtype."""
