@@ -75,7 +75,14 @@ class DepthServer:
         # padded power-of-two-bucket device launch — under concurrent load
         # this fills the MXU the way per-request launches cannot
         # (docs/PERF.md batching table). max_batch=1 = per-request serving.
-        self.max_batch = max(int(max_batch), 1)
+        # Normalized DOWN to a power of two: buckets are powers of two, so
+        # e.g. max_batch=6 would otherwise pad 5-job batches up to 8 — past
+        # the operator's cap and onto an engine warmup never compiled.
+        mb = max(int(max_batch), 1)
+        self.max_batch = 1 << (mb.bit_length() - 1)
+        if self.max_batch != mb:
+            log(f"server: --max-batch {mb} rounded down to "
+                f"{self.max_batch} (power-of-two buckets)")
         self.batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.started = time.time()
@@ -94,11 +101,17 @@ class DepthServer:
         engine build. Returns seconds spent."""
         t0 = time.time()
         h, w = self.input_hw
+        # both single-frame engines: npz responses serve viz=False, jpg
+        # responses viz=True — either would otherwise compile on the first
+        # live request (minutes on a cold cache)
         self.pipe(np.zeros((h, w, 3), np.uint8), viz=True)
-        if self.max_batch > 1:  # largest bucket; intermediates compile lazily
-            self.pipe.batch_call(
-                np.zeros((self.max_batch, h, w, 3), np.uint8), viz=True
-            )
+        self.pipe(np.zeros((h, w, 3), np.uint8), viz=False)
+        if self.max_batch > 1:
+            # largest bucket in BOTH viz modes (a batch serves viz=True iff
+            # any job wants jpg); intermediate buckets compile lazily
+            frames = np.zeros((self.max_batch, h, w, 3), np.uint8)
+            self.pipe.batch_call(frames, viz=False)
+            self.pipe.batch_call(frames, viz=True)
         dt = time.time() - t0
         log(f"server warmup: engine ready in {dt:.1f}s "
             f"({self.pipe.spec.artifact_name()} @ {h}x{w}"

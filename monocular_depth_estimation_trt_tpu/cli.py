@@ -385,6 +385,9 @@ def cmd_video(args) -> int:
     kw = {"encoder": args.encoder} if args.encoder else {}
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.video))[0]
@@ -494,6 +497,9 @@ def cmd_webcam(args) -> int:
     kw = {"encoder": args.encoder} if args.encoder else {}
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
     camera = args.camera
     if camera.isdigit():
@@ -539,6 +545,9 @@ def cmd_views(args) -> int:
         {"precision": args.precision}
         if getattr(args, "precision", "") else {}
     )
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
     if not hasattr(pipe, "multi_view"):
@@ -909,6 +918,19 @@ def cmd_engines(_args) -> int:
     return 0
 
 
+def _add_precision_args(p, calib: bool = True) -> None:
+    """Shared --precision/--calib-dir flags (one definition, no per-
+    subcommand drift)."""
+    p.add_argument("--precision", default="",
+                   choices=["", "bf16", "fp16", "fp32", "int8"],
+                   help="compute precision; int8 = statically-calibrated "
+                   "w8a8 serving (ViT-backbone families, docs/QUANT.md)")
+    if calib:
+        p.add_argument("--calib-dir", default="", dest="calib_dir",
+                       help="directory of domain images for int8 "
+                       "activation-scale calibration")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mdet", description=__doc__)
     p.add_argument(
@@ -929,13 +951,7 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--metric", action="store_true")
     run.add_argument("--dataset", default="hypersim")
     run.add_argument("--checkpoint", default="")
-    run.add_argument("--precision", default="",
-                     choices=["", "bf16", "fp16", "fp32", "int8"],
-                     help="compute precision; int8 = statically-calibrated "
-                     "w8a8 encoder serving (ViT-backbone families)")
-    run.add_argument("--calib-dir", default="", dest="calib_dir",
-                   help="directory of domain images for int8 "
-                   "activation-scale calibration")
+    _add_precision_args(run)
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
                      help="focal for unprojection (reference onnx2trt_pointcloud.py)")
@@ -966,13 +982,7 @@ def build_parser() -> argparse.ArgumentParser:
     batch.add_argument("--out", default="results")
     batch.add_argument("--max-frames", type=int, default=0)
     batch.add_argument("--checkpoint", default="")
-    batch.add_argument("--precision", default="",
-                       choices=["", "bf16", "fp16", "fp32", "int8"],
-                       help="compute precision; int8 = w8a8 serving "
-                       "(ViT-backbone families)")
-    batch.add_argument("--calib-dir", default="", dest="calib_dir",
-                     help="directory of domain images for int8 "
-                     "activation-scale calibration")
+    _add_precision_args(batch)
     batch.add_argument("--save", action="store_true",
                        help="write per-image npz+jpg (default: throughput "
                        "benchmark mode, outputs discarded)")
@@ -982,8 +992,7 @@ def build_parser() -> argparse.ArgumentParser:
     bench = sub.add_parser("bench", help="benchmark a model config")
     bench.add_argument("model")
     bench.add_argument("--encoder", default="")
-    bench.add_argument("--precision", default="",
-                       choices=["", "bf16", "fp16", "fp32", "int8"])
+    _add_precision_args(bench)
     bench.add_argument("--size", type=int, default=518)
     bench.add_argument("--warmup", type=int, default=10)
     bench.add_argument("--iterations", type=int, default=100)
@@ -1014,10 +1023,7 @@ def build_parser() -> argparse.ArgumentParser:
     video.add_argument("--video", required=True)
     video.add_argument("--out", default="results")
     video.add_argument("--max-frames", type=int, default=0)
-    video.add_argument("--precision", default="",
-                       choices=["", "bf16", "fp16", "fp32", "int8"],
-                       help="compute precision; int8 = w8a8 serving "
-                       "(ViT-backbone families)")
+    _add_precision_args(video)
     video.set_defaults(fn=cmd_video)
 
     track = sub.add_parser("track", help="online point tracking over a video")
@@ -1037,10 +1043,7 @@ def build_parser() -> argparse.ArgumentParser:
     views.add_argument("--resize", type=int, default=0,
                        help="square side for every view (default 518)")
     views.add_argument("--device-mesh", default="", dest="device_mesh")
-    views.add_argument("--precision", default="",
-                       choices=["", "bf16", "fp16", "fp32", "int8"],
-                       help="compute precision; int8 = w8a8 serving "
-                       "(ViT-backbone families)")
+    _add_precision_args(views)
     views.set_defaults(fn=cmd_views)
 
     pair = sub.add_parser("pair",
@@ -1057,10 +1060,7 @@ def build_parser() -> argparse.ArgumentParser:
     webcam.add_argument("--encoder", default="")
     webcam.add_argument("--camera", default="0",
                         help="device index or IP camera URL")
-    webcam.add_argument("--precision", default="",
-                        choices=["", "bf16", "fp16", "fp32", "int8"],
-                        help="compute precision; int8 = w8a8 serving "
-                        "(ViT-backbone families)")
+    _add_precision_args(webcam)
     webcam.set_defaults(fn=cmd_webcam)
 
     build = sub.add_parser("build", help="pre-build an engine (AOT compile)")
@@ -1092,17 +1092,13 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("model")
     serve.add_argument("--encoder", default="")
     serve.add_argument("--checkpoint", default="")
-    serve.add_argument("--precision", default="",
-                       choices=["", "bf16", "fp16", "fp32", "int8"])
+    _add_precision_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)
     serve.add_argument("--size", type=int, default=0,
                        help="served square input size (default: model spec)")
     serve.add_argument("--max-queue", type=int, default=32,
                        dest="max_queue")
-    serve.add_argument("--calib-dir", default="", dest="calib_dir",
-                     help="directory of domain images for int8 "
-                     "activation-scale calibration")
     serve.add_argument("--max-batch", type=int, default=1, dest="max_batch",
                        help="dynamic batching: serve up to N queued requests "
                        "per device launch (power-of-two buckets)")

@@ -98,27 +98,33 @@ class DepthPipeline:
         return self
 
     # -- compilation ------------------------------------------------------
+    def _with_viz_epilogue(self, out, with_viz: bool):
+        """Shared in-graph colormap epilogue (single-frame AND batched
+        engines route through here so the two can never drift)."""
+        if with_viz and self.viz != "none" and "depth" in out:
+            if self.viz == "metric":
+                norm = inverse_depth_normalize(out["depth"])
+            else:
+                norm = normalize_depth_for_viz(out["depth"])
+            if self.viz == "spectral":  # DINOv3 figures
+                from monocular_depth_estimation_trt_tpu.ops.colormap import (
+                    spectral_colormap,
+                )
+
+                out["viz"] = spectral_colormap(norm)
+            else:
+                out["viz"] = turbo_colormap(norm)
+        return out
+
     def engine_for(self, in_hw: Tuple[int, int], with_viz: bool = False) -> Engine:
         key = (in_hw, with_viz)
         if key in self._engines:
             return self._engines[key]
 
         def run(params, img):
-            out = self._forward(params, img, in_hw)
-            if with_viz and self.viz != "none" and "depth" in out:
-                if self.viz == "metric":
-                    norm = inverse_depth_normalize(out["depth"])
-                else:
-                    norm = normalize_depth_for_viz(out["depth"])
-                if self.viz == "spectral":  # DINOv3 figures
-                    from monocular_depth_estimation_trt_tpu.ops.colormap import (
-                        spectral_colormap,
-                    )
-
-                    out["viz"] = spectral_colormap(norm)
-                else:
-                    out["viz"] = turbo_colormap(norm)
-            return out
+            return self._with_viz_epilogue(
+                self._forward(params, img, in_hw), with_viz
+            )
 
         example = jax.ShapeDtypeStruct((in_hw[0], in_hw[1], 3), jnp.uint8)
         name = f"{self.spec.artifact_name()}_in{in_hw[0]}x{in_hw[1]}" + (
@@ -162,13 +168,9 @@ class DepthPipeline:
             return self._engines[key]
 
         def one(params, img):
-            out = self._forward(params, img, in_hw)
-            if with_viz and self.viz != "none" and "depth" in out:
-                norm = (inverse_depth_normalize(out["depth"])
-                        if self.viz == "metric"
-                        else normalize_depth_for_viz(out["depth"]))
-                out["viz"] = turbo_colormap(norm)
-            return out
+            return self._with_viz_epilogue(
+                self._forward(params, img, in_hw), with_viz
+            )
 
         batched = jax.vmap(one, in_axes=(None, 0))
 

@@ -775,6 +775,34 @@ def _build_moge(
             self._engines[key] = _SplitEngine(e1, e2)
             return self._engines[key]
 
+        def batch_engine_for(self, in_hw, batch: int, with_viz: bool = False):
+            """Batched serving keeps the same program-level split — the
+            base class's fused vmap(forward) would reintroduce the
+            kernel-faulting fusion (`_SplitEngine` docstring)."""
+            import jax
+
+            from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+            key = (tuple(in_hw), "batch-split", batch)
+            if key in self._engines:
+                return self._engines[key]
+            ex = jax.ShapeDtypeStruct((batch, *in_hw, 3), jnp.uint8)
+            bm = jax.vmap(model_forward, in_axes=(None, 0))
+            e1 = Engine(
+                bm, (self.params, ex),
+                name=(f"{spec.artifact_name()}_model_in{in_hw[0]}x"
+                      f"{in_hw[1]}_b{batch}"),
+            )
+            mid = jax.eval_shape(bm, self.params, ex)
+            bp = jax.vmap(functools.partial(postprocess, out_hw=tuple(in_hw)))
+            e2 = Engine(
+                bp, (mid,),
+                name=(f"{spec.artifact_name()}_post_{in_hw[0]}x"
+                      f"{in_hw[1]}_b{batch}"),
+            )
+            self._engines[key] = _SplitEngine(e1, e2)
+            return self._engines[key]
+
     return MoGePipeline(spec, forward, params, viz="none")
 
 
@@ -843,9 +871,11 @@ def _build_vggt(
     spec = ModelSpec(
         model=model_name, input_hw=(input_size, input_size), precision=precision,
         metric=True,
-        # depth-only and with-camera variants have different param trees —
-        # they must not share one params/engine artifact name
-        variant="" if with_camera else "depth",
+        # vggt's depth-only and with-camera variants have different param
+        # trees — they must not share one params/engine artifact name.
+        # streamvggt is ALWAYS depth-only (distinct model name, no
+        # collision): keep its established artifact name unchanged.
+        variant="depth" if (model_name == "vggt" and not with_camera) else "",
     )
     # int8 = w8a8 aggregator serving (ops/quant.py): the ~1B-param
     # alternating-attention trunk is the zoo's largest weight footprint

@@ -57,11 +57,23 @@ def main() -> None:
 
     body = open(args.image, "rb").read()
 
-    # warmup (compile/camera-ready) — single request, untimed
+    def one_request(timeout=600):
+        urllib.request.urlopen(
+            urllib.request.Request(f"{args.url}/v1/depth", data=body,
+                                   method="POST"), timeout=timeout).read()
+
+    # warmup, untimed: first a single request (single-frame engine), then
+    # two CONCURRENT rounds at full client count — batched buckets only
+    # compile under concurrent load, and a bucket compile inside the timed
+    # window would measure XLA, not serving throughput
     t0 = time.time()
-    urllib.request.urlopen(
-        urllib.request.Request(f"{args.url}/v1/depth", data=body,
-                               method="POST"), timeout=600).read()
+    one_request()
+    for _ in range(2):
+        ws = [threading.Thread(target=one_request) for _ in range(args.clients)]
+        for t in ws:
+            t.start()
+        for t in ws:
+            t.join()
     warm_s = time.time() - t0
     time.sleep(max(args.warmup_s - warm_s, 0.0))
 

@@ -136,3 +136,42 @@ def test_batch_cli_rejects_ambiguous_inputs(tmp_path):
 
     rc = cli.main(["batch", "toy"])  # neither --images-dir nor --video
     assert rc == 2
+
+
+def test_moge_batched_serving_keeps_program_split(monkeypatch, rng):
+    """MoGePipeline.batch_engine_for must keep the model/postprocess split —
+    the base class's fused vmap(forward) is the program shape that
+    deterministically kernel-faults the dev TPU worker (registry.py
+    _SplitEngine docstring). Also checks batched == per-frame numerics."""
+    import jax
+    import jax.numpy as jnp
+
+    import monocular_depth_estimation_trt_tpu.models.moge2 as moge_mod
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    real = moge_mod.MoGe2
+    vit_cfg = ViTConfig(dim=48, depth=2, num_heads=2, pretrain_img_size=70)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(cfg=moge_mod.MoGeConfig(
+            vit_config=vit_cfg, proj_dim=32, up_dims=(16, 16, 8),
+            out_indices=(0, 1, 0, 1)))
+        kw["num_tokens"] = 25
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(moge_mod, "MoGe2", tiny)
+    m = tiny(dtype=jnp.float32, attn_impl="xla", predict_normal=True)
+    params = m.init(jax.random.PRNGKey(7),
+                    jnp.zeros((1, 63, 112, 3)))["params"]
+    pipe = build_pipeline("moge2", input_hw=(63, 112), params=params,
+                          precision="fp32", attn_impl="xla")
+
+    eng = pipe.batch_engine_for((63, 112), 2)
+    assert hasattr(eng, "e1") and hasattr(eng, "e2"), type(eng)  # split
+
+    frames = rng.integers(0, 255, (2, 63, 112, 3), dtype=np.uint8)
+    out = pipe.batch_call(frames)
+    single = pipe(frames[0])
+    assert np.allclose(out["depth"][0], single["depth"], atol=1e-4,
+                       rtol=1e-4)

@@ -262,3 +262,12 @@ def test_cli_serve_batching_flags():
         ["serve", "depth_anything_v2", "--max-batch", "8",
          "--batch-window-ms", "5"])
     assert a.max_batch == 8 and a.batch_window_ms == 5.0
+
+
+def test_max_batch_rounds_down_to_power_of_two():
+    """--max-batch 6 must not pad batches up to 8 (past the operator's cap,
+    onto an engine warmup never compiled): it normalizes down to 4."""
+    ds = DepthServer(FakePipeline(), max_batch=6)
+    assert ds.max_batch == 4
+    assert DepthServer(FakePipeline(), max_batch=8).max_batch == 8
+    assert DepthServer(FakePipeline(), max_batch=1).max_batch == 1
