@@ -194,18 +194,28 @@ class VGGTStreamingSession:
         )
         from monocular_depth_estimation_trt_tpu.models.vggt import VGGTConfig
 
+        from monocular_depth_estimation_trt_tpu.ops.quant import as_variables
+
         cfg = cfg or VGGTConfig()
         self.window = window
         self.input_size = input_size
         self.params = params
         dtype = dtype or jnp.bfloat16
+        # int8 serving bundle ({"params", "q8"}, e.g. from an int8 vggt
+        # pipeline): identical param paths mean the joint model's calibrated
+        # scales serve the streaming graph unchanged
+        from collections.abc import Mapping
+
+        quant = (isinstance(params, Mapping) and "q8" in params
+                 and "params" in params)
         model = StreamingVGGT(cfg=cfg, max_views=window, dtype=dtype,
                               attn_impl=attn_impl, with_camera=with_camera,
-                              with_point_head=with_point_head)
+                              with_point_head=with_point_head,
+                              quant="serve" if quant else "none")
         grid = (input_size // cfg.patch_size, input_size // cfg.patch_size)
         self._cache = init_stream_cache(cfg, 1, grid, window, dtype)
         self._jit = jax.jit(
-            lambda p, v, c: model.apply({"params": p}, v, c)
+            lambda p, v, c: model.apply(as_variables(p), v, c)
         )
 
     def reset(self):

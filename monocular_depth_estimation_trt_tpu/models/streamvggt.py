@@ -40,6 +40,7 @@ from monocular_depth_estimation_trt_tpu.models.vggt import (
     rope_2d_freqs,
 )
 from monocular_depth_estimation_trt_tpu.models.vit import VIT_CONFIGS, DinoViT, LayerScale, Mlp
+from monocular_depth_estimation_trt_tpu.ops.quant import make_dense
 
 
 def init_stream_cache(cfg: VGGTConfig, batch: int, grid_hw: Tuple[int, int],
@@ -76,12 +77,16 @@ class CachedRopeAttention(nn.Module):
     grid_hw: Tuple[int, int]
     max_views: int
     dtype: Any = jnp.bfloat16
+    # int8 w8a8 serving (ops/quant.py); shares the q8 scales calibrated on
+    # the joint model (identical param paths)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, h: jax.Array, cache_k, cache_v, t):
         b, n, _ = h.shape  # n = one view's tokens
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(h)
+        qkv = make_dense(self.quant, self.dim * 3, dtype=self.dtype,
+                         name="qkv")(h)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         q = jnp.swapaxes(q, 1, 2)  # (B, H, n, d)
@@ -116,7 +121,8 @@ class CachedRopeAttention(nn.Module):
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         o = jnp.einsum("bhqk,bhkd->bhqd", p, cache_v.astype(v.dtype))
         o = jnp.swapaxes(o, 1, 2).reshape(b, n, self.dim)
-        o = nn.Dense(self.dim, dtype=self.dtype, name="proj")(o)
+        o = make_dense(self.quant, self.dim, dtype=self.dtype,
+                       name="proj")(o)
         return o, cache_k, cache_v
 
 
@@ -132,17 +138,19 @@ class CachedGlobalBlock(nn.Module):
     grid_hw: Tuple[int, int]
     max_views: int
     dtype: Any = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, cache_k, cache_v, t):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         o, cache_k, cache_v = CachedRopeAttention(
             self.dim, self.num_heads, self.num_special, self.grid_hw,
-            self.max_views, self.dtype, name="attn",
+            self.max_views, self.dtype, quant=self.quant, name="attn",
         )(h, cache_k, cache_v, t)
         x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls1")(o)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name="mlp")(h)
+        h = Mlp(self.dim, self.dim * 4, dtype=self.dtype, quant=self.quant,
+                name="mlp")(h)
         x = x + LayerScale(self.dim, 0.01, dtype=self.dtype, name="ls2")(h)
         return x, cache_k, cache_v
 
@@ -159,6 +167,9 @@ class StreamingVGGT(nn.Module):
     # STream3R serving (later/STream3R): causal per-frame pointmaps via the
     # upstream point-head family on the same cached aggregator pass
     with_point_head: bool = False
+    # int8 w8a8 streaming: identical param paths to the joint model mean the
+    # q8 collection calibrated there serves here unchanged
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, view: jax.Array, cache: Dict):
@@ -173,6 +184,7 @@ class StreamingVGGT(nn.Module):
             max_views: int
             dtype: Any
             attn_impl: str
+            quant: str = "none"
 
             @nn.compact
             def __call__(self, flat, cache):
@@ -183,12 +195,14 @@ class StreamingVGGT(nn.Module):
                     out_indices=(vit_cfg.depth - 1,),
                     dtype=self.dtype,
                     attn_impl=self.attn_impl,
+                    quant=self.quant,
                     name="patch_embed",
                 )(flat)
                 patch_tokens = feats[0][0]
                 if patch_tokens.shape[-1] != cc.dim:
-                    patch_tokens = nn.Dense(cc.dim, dtype=self.dtype,
-                                            name="input_proj")(patch_tokens)
+                    patch_tokens = make_dense(
+                        self.quant, cc.dim, dtype=self.dtype,
+                        name="input_proj")(patch_tokens)
                 camera_token = self.param(
                     "camera_token", nn.initializers.normal(0.02), (1, 1, cc.dim)
                 ).astype(self.dtype)
@@ -213,12 +227,14 @@ class StreamingVGGT(nn.Module):
                 saved = {}
                 for i in range(cc.depth):
                     x = AASubBlock(cc.dim, cc.num_heads, num_special, (ph, pw),
-                                   self.dtype, name=f"frame_{i}")(x, views=1)
+                                   self.dtype, quant=self.quant,
+                                   name=f"frame_{i}")(x, views=1)
                     frame_out = x
                     kv = cache["kv"][f"global_{i}"]
                     x, nk, nv = CachedGlobalBlock(
                         cc.dim, cc.num_heads, num_special, (ph, pw),
-                        self.max_views, self.dtype, name=f"global_{i}",
+                        self.max_views, self.dtype, quant=self.quant,
+                        name=f"global_{i}",
                     )(x, kv["k"], kv["v"], t)
                     new_kv[f"global_{i}"] = {"k": nk, "v": nv}
                     if i in head_set:
@@ -234,6 +250,7 @@ class StreamingVGGT(nn.Module):
                 return outs, {"kv": new_kv, "cam": cam, "t": t + 1}
 
         outs, new_cache = _Agg(c, self.max_views, self.dtype, self.attn_impl,
+                               quant=self.quant,
                                name="aggregator")(view, cache)
         depth, conf = VGGTDepthHead(
             features=c.head_features, out_channels=c.head_out_channels,

@@ -101,3 +101,65 @@ def test_stream_sliding_window_eviction(rng):
         np.asarray(out["depth"]), np.asarray(ref["depth"][:, 1]),
         rtol=0, atol=1e-3,
     )
+
+
+def test_stream_int8_matches_causal_joint_int8(rng):
+    """Int8 streaming: the q8 collection calibrated on the JOINT model
+    serves the streaming graph unchanged (identical param paths), and the
+    stepped outputs match the view-causal joint int8 forward."""
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        as_variables,
+        quantize_model_bundle,
+    )
+
+    s_total = 2
+    joint = VGGT(cfg=TINY, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False, quant="none")
+    x = jnp.asarray(
+        rng.standard_normal((1, s_total, 70, 70, 3)).astype(np.float32) * 0.3
+    )
+    params = jax.jit(joint.init)(jax.random.PRNGKey(2), x)["params"]
+
+    serve = VGGT(cfg=TINY, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False, quant="serve")
+    bundle = quantize_model_bundle(serve, params, (x,))
+    ref = serve.apply(as_variables(bundle), x)
+
+    stream = StreamingVGGT(cfg=TINY, max_views=4, dtype=jnp.float32,
+                           attn_impl="xla", with_camera=False, quant="serve")
+    cache = init_stream_cache(TINY, 1, (5, 5), max_views=4,
+                              dtype=jnp.float32)
+    step = jax.jit(lambda v, va, c: stream.apply(va, v, c))
+    for s in range(s_total):
+        out, cache = step(x[:, s], as_variables(bundle), cache)
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), np.asarray(ref["depth"][:, s]),
+            rtol=0, atol=2e-3,
+        )
+
+
+def test_streaming_session_accepts_int8_bundle(rng):
+    """VGGTStreamingSession detects a {"params","q8"} bundle and serves
+    the quantized streaming graph."""
+    from monocular_depth_estimation_trt_tpu.apps.streaming import (
+        VGGTStreamingSession,
+    )
+    from monocular_depth_estimation_trt_tpu.ops.quant import (
+        quantize_model_bundle,
+    )
+
+    joint = VGGT(cfg=TINY, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False, quant="none")
+    x = jnp.zeros((1, 1, 70, 70, 3), jnp.float32)
+    params = jax.jit(joint.init)(jax.random.PRNGKey(3), x)["params"]
+    serve = VGGT(cfg=TINY, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False, quant="serve")
+    bundle = quantize_model_bundle(serve, params, (x,))
+
+    sess = VGGTStreamingSession(bundle, cfg=TINY, window=2, input_size=70,
+                                dtype=jnp.float32, attn_impl="xla")
+    frame = rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
+    out = sess.step(frame)
+    assert np.isfinite(np.asarray(out["depth"])).all()
+    out2 = sess.step(frame)
+    assert np.isfinite(np.asarray(out2["depth"])).all()
