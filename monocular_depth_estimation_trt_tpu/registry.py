@@ -997,6 +997,53 @@ def _build_vggt(
             rep.frames_per_iteration = s
             return rep
 
+    class StreamVGGTPipeline(VGGTPipeline):
+        """Adds the run_video `.stream()` hook: per-video causal KV-cache
+        session (models/streamvggt.py) — ~O(1) per-step cost vs the S=1
+        re-forward, the streaming semantics the reference could not export
+        (``StreamVGGT/onnx_export.py:25-55``)."""
+
+        def stream(self, window: int = 4):
+            import jax
+
+            from monocular_depth_estimation_trt_tpu.apps.streaming import (
+                VGGTStreamingSession,
+            )
+
+            sess = VGGTStreamingSession(
+                self.params, cfg=cfg, window=window, input_size=input_size,
+                dtype=model.dtype, attn_impl=attn_impl,
+            )
+            pipe = self
+
+            def viz_depth(depth, out_hw):
+                # crop the pad-to-square border (as forward does), resample
+                # to the source frame, colormap in-graph
+                h0, w0 = out_hw
+                side = max(h0, w0)
+                top = int(round((side - h0) / 2 / side * input_size))
+                left = int(round((side - w0) / 2 / side * input_size))
+                hh = max(int(round(h0 / side * input_size)), 1)
+                ww = max(int(round(w0 / side * input_size)), 1)
+                d = upsample_depth(
+                    depth[None, top:top + hh, left:left + ww], out_hw,
+                    clamp=(1e-3, 1e3),
+                )[0]
+                return pipe._with_viz_epilogue({"depth": d}, True)
+
+            viz_jit = jax.jit(viz_depth, static_argnums=1)
+
+            def runner(rgb, viz=False):
+                out = sess.step(rgb)
+                res = viz_jit(out["depth"], tuple(rgb.shape[:2]))
+                import numpy as _np
+
+                return {k: _np.asarray(v) for k, v in res.items()}
+
+            return runner
+
+    if model_name == "streamvggt":
+        return StreamVGGTPipeline(spec, forward, params, viz="metric")
     return VGGTPipeline(spec, forward, params, viz="metric")
 
 

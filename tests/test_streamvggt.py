@@ -163,3 +163,27 @@ def test_streaming_session_accepts_int8_bundle(rng):
     assert np.isfinite(np.asarray(out["depth"])).all()
     out2 = sess.step(frame)
     assert np.isfinite(np.asarray(out2["depth"])).all()
+
+
+def test_streamvggt_pipeline_stream_hook(rng):
+    """The streamvggt pipeline exposes the run_video `.stream()` hook: a
+    per-video causal session whose outputs are source-resolution depth+viz
+    (pad cropped)."""
+    from monocular_depth_estimation_trt_tpu.registry import _build_vggt
+
+    joint = VGGT(cfg=TINY, dtype=jnp.float32, attn_impl="xla",
+                 with_camera=False)
+    params = jax.jit(joint.init)(
+        jax.random.PRNGKey(4), jnp.zeros((1, 1, 70, 70, 3))
+    )["params"]
+    pipe = _build_vggt("streamvggt", 70, "fp32", "xla", params,
+                       vggt_cfg=TINY, with_camera=False)
+    assert hasattr(pipe, "stream")
+
+    runner = pipe.stream(window=2)
+    for _ in range(2):
+        frame = rng.integers(0, 255, (60, 80, 3), dtype=np.uint8)
+        out = runner(frame, viz=True)
+        assert out["depth"].shape == (60, 80)
+        assert out["viz"].shape == (60, 80, 3)
+        assert np.isfinite(out["depth"]).all()
