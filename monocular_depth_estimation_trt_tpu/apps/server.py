@@ -217,6 +217,31 @@ class DepthServer:
             out["p99_ms"] = round(float(np.percentile(lat, 99)), 2)
         return out
 
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters (GET
+        /metrics) — the same numbers as /v1/stats, scrape-ready."""
+        s = self.stats()
+        lines = [
+            "# TYPE mdet_requests_total counter",
+            f"mdet_requests_total {s['requests']}",
+            "# TYPE mdet_errors_total counter",
+            f"mdet_errors_total {s['errors']}",
+            "# TYPE mdet_queue_depth gauge",
+            f"mdet_queue_depth {s['queue_depth']}",
+        ]
+        for k, name in (("avg_ms", "mdet_latency_avg_ms"),
+                        ("p50_ms", "mdet_latency_p50_ms"),
+                        ("p99_ms", "mdet_latency_p99_ms")):
+            if k in s:
+                lines += [f"# TYPE {name} gauge", f"{name} {s[k]}"]
+        if self.max_batch > 1:
+            lines += ["# TYPE mdet_batches_total counter",
+                      f"mdet_batches_total {s['batches']}"]
+            if s.get("avg_batch"):
+                lines += ["# TYPE mdet_avg_batch gauge",
+                          f"mdet_avg_batch {s['avg_batch']}"]
+        return "\n".join(lines) + "\n"
+
     def health(self) -> Dict[str, Any]:
         return {
             "status": "ok",
@@ -260,6 +285,9 @@ def make_handler(server: DepthServer):
                 return self._json(200, server.health())
             if path == "/v1/stats":
                 return self._json(200, server.stats())
+            if path == "/metrics":  # Prometheus scrape endpoint
+                return self._send(200, server.metrics_text().encode(),
+                                  "text/plain; version=0.0.4")
             return self._json(404, {"error": f"unknown path {path}"})
 
         def do_POST(self):

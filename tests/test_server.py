@@ -271,3 +271,16 @@ def test_max_batch_rounds_down_to_power_of_two():
     assert ds.max_batch == 4
     assert DepthServer(FakePipeline(), max_batch=8).max_batch == 8
     assert DepthServer(FakePipeline(), max_batch=1).max_batch == 1
+
+
+def test_prometheus_metrics_endpoint(server_factory):
+    base, _ = server_factory(FakeBatchPipeline(), max_batch=2)
+    _post(f"{base}/v1/depth", _png_bytes())
+    resp = urllib.request.urlopen(f"{base}/metrics", timeout=10)
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    body = resp.read().decode()
+    assert "mdet_requests_total 1" in body
+    assert "mdet_errors_total 0" in body
+    assert "mdet_queue_depth" in body
+    assert "mdet_batches_total" in body
