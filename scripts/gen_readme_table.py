@@ -66,6 +66,11 @@ META = {
     "megasam": ("video SLAM (LM-BA solves/s)", "`later/MegaSaM`"),
     "vipe": ("video pose engine (LM-BA solves/s)", "`later/VIPE`"),
     "wildgs_slam": ("splat-SLAM (mapping steps/s)", "`later/WildGS-SLAM`"),
+    "depth_anything_v2_vitl_int8": ("depth, int8 w8a8", "`Depth_Anything_V2/`"),
+    "depth_anything_v2_vits_int8": ("depth, int8 w8a8", "`Depth_Anything_V2/`"),
+    "metric3d_v2_vitl_int8": ("canonical depth, int8 w8a8", "`Metric3D_V2/`"),
+    "depth_pro_int8": ("metric depth, int8 w8a8", "`Depth_Pro/`"),
+    "vggt_int8": ("multi-view geometry, int8 w8a8", "`VGGT/`"),
     "vggt_s2": ("multi-view geometry (S=2)", "`VGGT/`"),
     "vggt_s4": ("multi-view geometry (S=4)", "`VGGT/`"),
     "vggt_s8": ("multi-view geometry (S=8)", "`VGGT/`"),
@@ -110,11 +115,15 @@ def make_table(bench: dict) -> str:
         task, ref = META.get(tag, ("", "—"))
         base = r.get("baseline_trt_fps")
         sp = r.get("speedup_vs_trt")
+        base_s = str(base) if base else "—"
+        sp_s = f"{sp:.1f}×" if sp else "—"
+        if r.get("speedup_vs_bf16"):  # int8 rows compare to their bf16 row
+            base_s = f"bf16: {r['bf16_fps']}"
+            sp_s = f"{r['speedup_vs_bf16']:.2f}× vs bf16"
         fid = live_fidelity(tag) or r.get("fidelity", "")
         lines.append(
             f"| `{tag}` | {task} | {ref} | {r['fps']:.1f} | "
-            f"{base if base else '—'} | "
-            f"{f'{sp:.1f}×' if sp else '—'} | "
+            f"{base_s} | {sp_s} | "
             f"{FID_SHORT.get(fid, fid)} |"
         )
     ok = [r["speedup_vs_trt"] for r in rows if r.get("speedup_vs_trt")]
