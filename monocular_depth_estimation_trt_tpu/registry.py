@@ -125,6 +125,8 @@ def _int8_bundle(model, params, spec, params_name, make_sample, *,
     )
     from monocular_depth_estimation_trt_tpu.weights.store import _params_dir
 
+    from monocular_depth_estimation_trt_tpu.weights.store import save_params
+
     cacheable = (calib_images is None and not explicit_params
                  and os.path.isdir(_params_dir(params_name)))
 
@@ -137,13 +139,20 @@ def _int8_bundle(model, params, spec, params_name, make_sample, *,
                         else _calibration_images(input_size))
         )
 
-    return quantize_model_bundle(
-        model, params, samples,
-        # v2: SmoothQuant-smoothed scheme ({qmul, kernel_q, out_scale}) —
-        # versioned so pre-smoothing cached scale artifacts cannot
-        # structurally collide (the ADVICE round-2 lesson)
-        cache_name=spec.artifact_name() + "_q8v2", cacheable=cacheable,
-    )
+    bundle = quantize_model_bundle(model, params, samples)
+    if cacheable:
+        # persist the WHOLE pruned serving bundle: an int8 cold start then
+        # loads pruned-params + q8 directly and never touches the
+        # full-precision kernels (for VGGT-1B that halves the load I/O).
+        # Versioned name (SmoothQuant scheme v2) so a scheme change can
+        # never structurally collide with stale artifacts.
+        save_params(_int8_bundle_name(spec), bundle)
+    return bundle
+
+
+def _int8_bundle_name(spec) -> str:
+    return (dataclasses.replace(spec, precision="bf16").artifact_name()
+            + "_int8bundle_v2")
 
 
 def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
@@ -156,8 +165,10 @@ def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
 
     ``make_sample``: jittable uint8 image -> model input batch (used only on
     a calibration-cache miss)."""
+    from monocular_depth_estimation_trt_tpu.utils.logging import log
     from monocular_depth_estimation_trt_tpu.weights.store import (
         get_or_convert_params,
+        load_params,
     )
 
     params_name = (
@@ -165,6 +176,17 @@ def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
         if quant else spec.artifact_name()
     )
     explicit = params is not None
+    if quant and not explicit and calib_images is None:
+        # int8 cold start: the cached pruned bundle serves directly — the
+        # full-precision kernels are never loaded
+        try:
+            cached = load_params(_int8_bundle_name(spec))
+        except Exception:
+            cached = None
+        if cached is not None:
+            log(f"int8: loaded cached serving bundle "
+                f"({_int8_bundle_name(spec)})")
+            return cached
     if params is None:
         # resolve against the full-precision tree: serve mode doesn't
         # declare the Dense kernels, so its init structure would mismatch

@@ -387,3 +387,51 @@ def test_registry_int8_pipeline(monkeypatch, rng):
     assert out_q.shape == out_f.shape
     c = np.corrcoef(out_q.ravel(), out_f.ravel())[0, 1]
     assert c > 0.98, c
+
+
+def test_int8_bundle_cold_start_cache(monkeypatch, rng, tmp_path):
+    """Once an int8 bundle is cached, a rebuild serves it directly without
+    loading the full-precision params (cold-start I/O halves for big
+    models)."""
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    import monocular_depth_estimation_trt_tpu.registry as registry
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.weights import store
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(vit_config=cfg, head_features=16,
+                  head_out_channels=(8, 16, 32, 32), out_indices=(0, 1, 0, 1))
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    # isolate the cache dir for this test
+    monkeypatch.setenv("MDET_CACHE_DIR", str(tmp_path))
+
+    m = tiny(dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 56, 56, 3)))["params"]
+    name = registry.build_pipeline(
+        "depth_anything_v2", encoder="vits", precision="bf16", input_size=56,
+        params=params,
+    ).spec.artifact_name()
+    store.save_params(name, params)  # as if converted earlier
+
+    # first int8 build: store params -> calibrate -> bundle cached
+    pipe1 = registry.build_pipeline("depth_anything_v2", encoder="vits",
+                                    precision="int8", input_size=56)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    out1 = pipe1(img)["depth"]
+
+    # second build: full-precision resolution must NOT be touched
+    def boom(*a, **kw):
+        raise AssertionError("full-precision params loaded on a bundle hit")
+
+    monkeypatch.setattr(store, "get_or_convert_params", boom)
+    monkeypatch.setattr(registry, "_calibration_images",
+                        lambda *a, **kw: boom())
+    pipe2 = registry.build_pipeline("depth_anything_v2", encoder="vits",
+                                    precision="int8", input_size=56)
+    out2 = pipe2(img)["depth"]
+    np.testing.assert_allclose(out1, out2, rtol=0, atol=1e-5)
