@@ -900,10 +900,17 @@ def cmd_convert(args) -> int:
 
 
 def cmd_models(_args) -> int:
-    from monocular_depth_estimation_trt_tpu.registry import list_models
+    from monocular_depth_estimation_trt_tpu.registry import (
+        INT8_FAMILIES,
+        get_fidelity,
+        list_models,
+    )
 
     for name in list_models():
-        print(name)
+        tags = [get_fidelity(name)]
+        if name in INT8_FAMILIES:
+            tags.append("int8")
+        print(f"{name}  [{', '.join(tags)}]")
     return 0
 
 

@@ -59,6 +59,16 @@ def get_fidelity(name: str) -> str:
     return _FIDELITY.get(name, "approximated")
 
 
+# Families with an int8 w8a8 serving path (docs/QUANT.md): ViT backbones
+# routed through _params_for -> ops/quant.quantize_model_bundle
+INT8_FAMILIES = frozenset({
+    "depth_anything_v2", "distill_any_depth", "depth_anything_ac",
+    "depth_anything_v3", "depth_pro", "unidepth_v2", "unik3d",
+    "metric3d_v2", "moge2", "metric_anything", "vggt", "streamvggt",
+    "map_anything",
+})
+
+
 def list_models():
     return sorted(_REGISTRY)
 

@@ -150,10 +150,8 @@ def test_calib_images_accepted_by_every_int8_family():
 
     from monocular_depth_estimation_trt_tpu import registry
 
-    for name in ("depth_anything_v2", "distill_any_depth",
-                 "depth_anything_ac", "depth_anything_v3", "depth_pro",
-                 "unidepth_v2", "unik3d", "metric3d_v2", "moge2",
-                 "metric_anything", "vggt", "streamvggt", "map_anything"):
+    assert len(registry.INT8_FAMILIES) == 13  # every ViT-backbone family
+    for name in sorted(registry.INT8_FAMILIES):
         fn = getattr(registry, name)
         sig = inspect.signature(fn)
         src = inspect.getsource(fn)
