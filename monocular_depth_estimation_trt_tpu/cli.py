@@ -793,6 +793,66 @@ def cmd_distill(args) -> int:
     return 0
 
 
+def cmd_quantcheck(args) -> int:
+    """One-command int8 accuracy gate: build the SAME config at bf16 and
+    int8 (shared converted params), run both on the given images, and print
+    ONE JSON line with the int8-vs-bf16 metric suite (δ1/AbsRel/corr).
+    Replaces the reference's eyeball max/min protocol for precision
+    decisions the reference couldn't even make (fp16-only engines)."""
+    import json
+
+    import jax.numpy as jnp
+
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.training.metrics import (
+        depth_metrics,
+    )
+    from monocular_depth_estimation_trt_tpu.utils.files import list_images
+
+    if args.images:
+        paths = list_images(args.images)[: args.max_images]
+    else:
+        paths = [os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "example.jpg")]
+    if not paths:
+        log(f"quantcheck: no images under {args.images}", tag="ERROR")
+        return 1
+
+    kw = {"encoder": args.encoder} if args.encoder else {}
+    if args.checkpoint:
+        kw["checkpoint"] = args.checkpoint
+    pipe_f = build_pipeline(args.model, precision="bf16", **kw)
+    kw_q = dict(kw)
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw_q["calib_images"] = ci
+    pipe_q = build_pipeline(args.model, precision="int8", **kw_q)
+
+    sums, n = {}, 0
+    corr = []
+    for p in paths:
+        img = _load_image(p)
+        df = np.asarray(pipe_f(img)["depth"], np.float32)
+        dq = np.asarray(pipe_q(img)["depth"], np.float32)
+        m = depth_metrics(jnp.asarray(dq)[None], jnp.asarray(df)[None],
+                          align="none")
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        corr.append(float(np.corrcoef(dq.ravel(), df.ravel())[0, 1]))
+        n += 1
+
+    report = {
+        "metric": f"{pipe_q.spec.artifact_name()}_vs_bf16",
+        "images": n,
+        "corr": round(float(np.mean(corr)), 5),
+        **{k: round(v / n, 5) for k, v in sums.items()},
+    }
+    print(json.dumps(report))
+    # δ1 > 0.95 is the same gate tests/test_quant.py holds the tiny configs
+    # to; exit nonzero so CI/deploy scripts can gate on it directly
+    return 0 if report.get("delta1", 0.0) > args.min_delta1 else 3
+
+
 def cmd_eval(args) -> int:
     """Evaluate predictions against ground truth with the standard metric
     suites (``training/metrics.py``): AbsRel/RMSE/SiLog/δ-thresholds for
@@ -1169,10 +1229,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="score (H,W,2) flow fields with EPE/n-px instead")
     ev.set_defaults(fn=cmd_eval)
 
+    qc = sub.add_parser(
+        "quantcheck",
+        help="int8-vs-bf16 accuracy report for one config (one JSON line; "
+        "exit 3 if delta1 falls below --min-delta1)")
+    qc.add_argument("model")
+    qc.add_argument("--encoder", default="")
+    qc.add_argument("--checkpoint", default="")
+    qc.add_argument("--images", default="",
+                    help="image directory (default: the bundled example)")
+    qc.add_argument("--max-images", type=int, default=8)
+    qc.add_argument("--min-delta1", type=float, default=0.95,
+                    dest="min_delta1")
+    qc.add_argument("--calib-dir", default="", dest="calib_dir",
+                    help="directory of domain images for int8 calibration")
+    qc.set_defaults(fn=cmd_quantcheck)
+
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
     for sp in (run, flow, video, webcam, track, pair, batch, views, slam,
-               serve, dist):
+               serve, dist, qc):
         # SUPPRESS: don't let the subparser's default clobber the
         # main-parser flag when given before the subcommand
         sp.add_argument("--allow-random-weights", action="store_true",

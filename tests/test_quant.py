@@ -433,3 +433,46 @@ def test_int8_bundle_cold_start_cache(monkeypatch, rng, tmp_path):
                                     precision="int8", input_size=56)
     out2 = pipe2(img)["depth"]
     np.testing.assert_allclose(out1, out2, rtol=0, atol=1e-5)
+
+
+def test_cli_quantcheck(monkeypatch, rng, tmp_path, capsys):
+    """`mdet quantcheck` prints the int8-vs-bf16 metric line and gates on
+    --min-delta1 via the exit code."""
+    import cv2
+
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    from monocular_depth_estimation_trt_tpu import cli
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(vit_config=cfg, head_features=16,
+                  head_out_channels=(8, 16, 32, 32), out_indices=(0, 1, 0, 1))
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    monkeypatch.setenv("MDET_CACHE_DIR", str(tmp_path / "cache"))
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(imgs / f"i{i}.png"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+
+    rc = cli.main(["quantcheck", "depth_anything_v2", "--encoder", "vits",
+                   "--images", str(imgs), "--min-delta1", "0.5",
+                   "--allow-random-weights"])
+    import json
+
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["images"] == 2 and "delta1" in rep and "corr" in rep
+    assert rc == 0
+
+    # impossible gate -> exit 3
+    rc = cli.main(["quantcheck", "depth_anything_v2", "--encoder", "vits",
+                   "--images", str(imgs), "--min-delta1", "1.01",
+                   "--allow-random-weights"])
+    assert rc == 3
