@@ -738,8 +738,12 @@ def cmd_distill(args) -> int:
     # kernel has no custom_vjp, so value_and_grad through it would fail for
     # the head/sequence shapes "auto" routes to flash on TPU.
     student_pipe = build_pipeline(args.student, encoder=args.student_encoder)
+    # --qat: fake-quant (STE) training so the promoted weights serve well
+    # at precision="int8" (ops/quant.py QuantDense mode "qat"); the param
+    # tree is unchanged, so promotion and int8 calibration work as-is
     student_model = DepthAnythingV2(
-        encoder=args.student_encoder, dtype=jnp.float32, attn_impl="xla"
+        encoder=args.student_encoder, dtype=jnp.float32, attn_impl="xla",
+        quant="qat" if getattr(args, "qat", False) else "none",
     )
 
     def student_apply(params, imgs_u8):
@@ -1208,6 +1212,10 @@ def build_parser() -> argparse.ArgumentParser:
                       help="cap on images held in RAM (frames + teacher "
                       "labels are resident for the run)")
     dist.add_argument("--out", default="results/distill")
+    dist.add_argument("--qat", action="store_true",
+                      help="quantization-aware training: fake-quant (STE) "
+                      "student forward so the result serves well at "
+                      "--precision int8")
     dist.add_argument("--promote", action="store_true",
                       help="install the distilled params in the weights "
                       "cache under the student's artifact name")

@@ -51,7 +51,11 @@ class QuantDense(nn.Module):
       * ``serve`` — static-scale int8 with SmoothQuant smoothing folded in:
         ``x → round(x·qmul) ∈ int8`` (``qmul`` per input channel),
         int8×int8 ``dot_general`` accumulating in int32 on the MXU, one
-        fused rescale ``int32 → f32 × out_scale`` epilogue.
+        fused rescale ``int32 → f32 × out_scale`` epilogue;
+      * ``qat`` — quantization-aware training: fake-quant (quantize →
+        dequantize) on weights (per-output-channel) and activations
+        (per-tensor dynamic absmax) with straight-through gradients, so a
+        fine-tune/distillation learns weights that serve well at int8.
 
     The ``kernel``/``bias`` params match ``nn.Dense`` exactly (converter/
     cache compatible); int8 weights + scales come from the ``q8``
@@ -73,7 +77,7 @@ class QuantDense(nn.Module):
             self.param(
                 "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
             )
-            if self.mode == "calib"
+            if self.mode in ("calib", "qat")
             else None
         )
         bias = (
@@ -92,6 +96,20 @@ class QuantDense(nn.Module):
                 init_fn=lambda: jnp.zeros((d_in,), jnp.float32),
             )
             y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        elif self.mode == "qat":
+            # fake-quant with straight-through estimator: forward sees the
+            # quantization grid, backward sees identity
+            def ste(real, quantized):
+                return real + jax.lax.stop_gradient(quantized - real)
+
+            k = kernel.astype(jnp.float32)
+            kq, ws = quantize_weight(k)
+            k_fq = ste(k, kq.astype(jnp.float32) * ws[None, :])
+            xf = x.astype(jnp.float32)
+            a = jnp.maximum(jax.lax.stop_gradient(jnp.max(jnp.abs(xf))),
+                            1e-8) / _QMAX
+            x_fq = ste(xf, jnp.clip(jnp.round(xf / a), -_QMAX, _QMAX) * a)
+            y = x_fq @ k_fq
         else:
             # qmul = 1/(s·a): SmoothQuant per-channel smoothing s and the
             # post-smoothing activation scale a, pre-combined (build_q8)

@@ -110,3 +110,42 @@ def test_cli_distill_end_to_end(tmp_path, monkeypatch, tiny_da):
     like = create_train_state(params, optax.adamw(sched, weight_decay=1e-4))
     st = load_train_state(os.path.join(out, ckpts[0]), like)
     assert int(st.step) == 3
+
+
+@pytest.mark.slow
+def test_cli_distill_qat(tmp_path, monkeypatch, tiny_da):
+    """--qat: the student trains through the fake-quant (STE) graph; the
+    resulting params keep the standard tree (promotable, int8-servable)."""
+    from monocular_depth_estimation_trt_tpu import cli
+
+    images = _write_images(tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main([
+        "distill",
+        "--teacher", "depth_anything_v2", "--teacher-encoder", "vits",
+        "--student", "depth_anything_v2", "--student-encoder", "vits",
+        "--images-dir", images,
+        "--size", "56", "--batch", "2", "--steps", "2", "--lr", "1e-3",
+        "--out", out, "--qat",
+    ])
+    assert rc == 0
+
+    # restorable with the STANDARD (non-quant) param tree
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from monocular_depth_estimation_trt_tpu.training import (
+        create_train_state,
+        load_train_state,
+    )
+
+    model = tiny_da(dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 56, 56, 3)))["params"]
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, warmup_steps=10,
+                                               decay_steps=11)
+    like = create_train_state(params, optax.adamw(sched, weight_decay=1e-4))
+    ckpts = [p for p in os.listdir(out) if p.startswith("distill_")]
+    st = load_train_state(os.path.join(out, ckpts[0]), like)
+    assert int(st.step) == 2

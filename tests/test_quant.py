@@ -476,3 +476,26 @@ def test_cli_quantcheck(monkeypatch, rng, tmp_path, capsys):
                    "--images", str(imgs), "--min-delta1", "1.01",
                    "--allow-random-weights"])
     assert rc == 3
+
+
+def test_qat_mode_fake_quant_with_gradients(rng):
+    """QAT mode: forward sees the quantization grid (output matches the
+    serve-mode numerics closely), backward sees identity (finite, nonzero
+    grads through the STE)."""
+    x = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    qat_m = QuantDense(16, mode="qat", dtype=jnp.float32)
+    params = qat_m.init(jax.random.PRNGKey(0), x)["params"]
+
+    base = QuantDense(16, mode="calib", dtype=jnp.float32)
+    y_f = base.apply({"params": params}, x)
+    y_qat = qat_m.apply({"params": params}, x)
+    rel = float(jnp.max(jnp.abs(y_f - y_qat)) /
+                (jnp.max(jnp.abs(y_f)) + 1e-9))
+    assert 0.0 < rel < 0.05, rel  # quantization-grained, not identical
+
+    def loss(p):
+        return jnp.sum(qat_m.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    gk = np.asarray(g["kernel"])
+    assert np.isfinite(gk).all() and np.abs(gk).max() > 0  # STE flows
