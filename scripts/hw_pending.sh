@@ -1,0 +1,24 @@
+#!/bin/bash
+# Pending round-3 hardware measurements — run when the axon TPU tunnel is up.
+# Each step is timeout-bounded (the tunnel intermittently hangs, CLAUDE.md);
+# bench_all runs --isolate (per-row subprocess + retries) so one worker
+# crash cannot poison the suite. Safe to re-run: the XLA persistent cache
+# makes repeats cheap and merge_bench never lets an error row clobber a
+# good one.
+set -ux
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/mdet_tpu/xla_cache
+
+# 1. headline bench (driver contract: ONE JSON line)
+timeout 2400 env MDET_BENCH_ITERS=50 python bench.py 2>&1 | tee /tmp/hw_bench.log
+
+# 2. int8 QUANT_SUITE rows (vs each config's recorded bf16 row)
+timeout 14400 python bench_all.py --isolate \
+    --models depth_anything_v2_vitl_int8,depth_anything_v2_vits_int8,metric3d_v2_vitl_int8,depth_pro_int8,vggt_int8 \
+    --out BENCH_QUANT.json 2>&1 | tee /tmp/hw_quant.log
+
+# 3. fold the int8 rows into the zoo table + regenerate README
+python scripts/merge_bench.py BENCH_QUANT.json BENCH_ALL.json
+python scripts/gen_readme_table.py
+
+echo "[hw_pending] done — update docs/QUANT.md + docs/PERF.md 'pending' notes"
