@@ -119,6 +119,25 @@ def cmd_run(args) -> int:
         img = cv2.resize(img, (args.resize, args.resize))
     log(f"original shape : {img.shape}")
 
+    if getattr(args, "engine", ""):
+        # serve from a serialized .mdeteng artifact — no model code, no
+        # checkpoints; the deserialize-and-run consumer the reference gets
+        # from TRT plan files (common_runtime.py deserialize_cuda_engine)
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        eng = load_engine(args.engine)
+        log(f"loaded engine: {eng.describe()}")
+        want_hw = eng.in_shapes[0][:2]
+        if tuple(img.shape[:2]) != tuple(want_hw):
+            log(f"resizing {img.shape[:2]} -> {tuple(want_hw)} "
+                "(serialized engines are fixed-shape, like TRT plans)")
+            img = cv2.resize(img, (want_hw[1], want_hw[0]))
+        out = eng(img)
+        name = eng.meta.get("artifact", "engine")
+        return _write_run_outputs(args, img, out, name)
+
     kw = {}
     if args.encoder:
         kw["encoder"] = args.encoder
@@ -136,10 +155,17 @@ def cmd_run(args) -> int:
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
 
     out = pipe(img, viz=True)
+    return _write_run_outputs(args, img, out, pipe.spec.artifact_name(),
+                              pipe=pipe)
+
+
+def _write_run_outputs(args, img, out, name, pipe=None) -> int:
+    """Artifact-writing tail shared by the model path and the serialized-
+    engine path of ``mdet run`` (jpg/npz/fov/pointcloud/compare)."""
+    import cv2
 
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.image))[0]
-    name = pipe.spec.artifact_name()
 
     if "depth" not in out:
         # calibration-style pipelines (GeoCalib): scalar estimates + fields
@@ -157,7 +183,7 @@ def cmd_run(args) -> int:
         npz = os.path.join(args.out, f"{stem}_{name}.npz")
         np.savez_compressed(npz, **{k: np.asarray(v) for k, v in out.items()})
         log(f"wrote {npz}")
-        if args.benchmark:
+        if args.benchmark and pipe is not None:
             pipe.benchmark((img.shape[0], img.shape[1])).print()
         return 0
 
@@ -236,8 +262,10 @@ def cmd_run(args) -> int:
             return 1
 
     if args.benchmark:
-        report = pipe.benchmark((img.shape[0], img.shape[1]))
-        report.print()
+        if pipe is None:
+            log("--benchmark needs a model config (not --engine)", tag="WARN")
+        else:
+            pipe.benchmark((img.shape[0], img.shape[1])).print()
     return 0
 
 
@@ -524,6 +552,46 @@ def cmd_build(args) -> int:
     fl = eng.flops()
     if fl:
         log(f"program FLOPs: {fl / 1e9:.2f} G")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Write a serialized, shippable engine artifact (.mdeteng): the fused
+    pre+model+post program with weights baked in as constants — the TPU
+    analogue of the reference writing the TRT plan to disk
+    (``Depth_Anything_V2/onnx2trt.py:60-68``), but platform-portable
+    StableHLO instead of a GPU-specific binary. Consume with
+    ``mdet run --engine file`` (no model zoo / checkpoints needed)."""
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.runtime.export import (
+        export_pipeline,
+    )
+
+    kw = {}
+    if args.encoder:
+        kw["encoder"] = args.encoder
+    if args.metric:
+        kw["metric"] = True
+        kw["dataset"] = args.dataset
+    if args.checkpoint:
+        kw["checkpoint"] = args.checkpoint
+    if getattr(args, "precision", ""):
+        kw["precision"] = args.precision
+    ci = _calib_images_from(args)
+    if ci is not None:
+        kw["calib_images"] = ci
+    pipe = build_pipeline(args.model, **kw)
+    platforms = tuple(
+        p.strip() for p in args.platforms.split(",") if p.strip()
+    )
+    path = export_pipeline(
+        pipe,
+        (args.size, args.size),
+        with_viz=args.viz,
+        path=args.out or None,
+        platforms=platforms,
+    )
+    print(path)
     return 0
 
 
@@ -986,6 +1054,18 @@ def cmd_engines(_args) -> int:
         entry = reg.load(name) or {}
         bt = entry.get("build_seconds")
         print(f"{name}  build={bt:.2f}s" if bt else name)
+
+    from monocular_depth_estimation_trt_tpu.runtime.export import (
+        exported_dir,
+    )
+
+    d = exported_dir()
+    arts = sorted(f for f in os.listdir(d) if f.endswith(".mdeteng"))
+    if arts:
+        print("-- serialized artifacts (mdet export) --")
+        for f in arts:
+            sz = os.path.getsize(os.path.join(d, f)) / 1e6
+            print(f"{f}  {sz:.2f} MB")
     return 0
 
 
@@ -1022,6 +1102,9 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--metric", action="store_true")
     run.add_argument("--dataset", default="hypersim")
     run.add_argument("--checkpoint", default="")
+    run.add_argument("--engine", default="",
+                     help="serve from a serialized .mdeteng artifact "
+                     "(see `mdet export`) instead of building the model")
     _add_precision_args(run)
     run.add_argument("--pointcloud", action="store_true")
     run.add_argument("--focal", type=float, default=470.4,
@@ -1141,6 +1224,26 @@ def build_parser() -> argparse.ArgumentParser:
     build.add_argument("--metric", action="store_true")
     build.add_argument("--viz", action="store_true")
     build.set_defaults(fn=cmd_build)
+
+    exp = sub.add_parser(
+        "export",
+        help="write a serialized engine artifact (.mdeteng) — the shippable "
+        "analogue of the reference's .engine plan, weights baked in",
+    )
+    exp.add_argument("model")
+    exp.add_argument("--encoder", default="")
+    exp.add_argument("--size", type=int, default=518)
+    exp.add_argument("--metric", action="store_true")
+    exp.add_argument("--dataset", default="hypersim")
+    exp.add_argument("--checkpoint", default="")
+    exp.add_argument("--viz", action="store_true",
+                     help="fuse the colormap epilogue into the artifact")
+    exp.add_argument("--out", default="",
+                     help="output path (default: <cache>/exported/<name>.mdeteng)")
+    exp.add_argument("--platforms", default="cpu,tpu",
+                     help="comma-separated lowering platforms")
+    _add_precision_args(exp)
+    exp.set_defaults(fn=cmd_export)
 
     slam = sub.add_parser(
         "slam", help="video SLAM recipes (megasam / vipe / wildgs_slam)")
