@@ -134,9 +134,13 @@ def cmd_run(args) -> int:
             log(f"resizing {img.shape[:2]} -> {tuple(want_hw)} "
                 "(serialized engines are fixed-shape, like TRT plans)")
             img = cv2.resize(img, (want_hw[1], want_hw[0]))
-        out = eng(img)
+        out = eng(img, viz=True)
         name = eng.meta.get("artifact", "engine")
         return _write_run_outputs(args, img, out, name)
+
+    if not args.model:
+        log("run: give a model name (or --engine artifact)", tag="ERROR")
+        return 2
 
     kw = {}
     if args.encoder:
@@ -584,10 +588,22 @@ def cmd_export(args) -> int:
     platforms = tuple(
         p.strip() for p in args.platforms.split(",") if p.strip()
     )
+    if args.serve_bundle:
+        # everything `mdet serve --engine` needs: power-of-two buckets up
+        # to --serve-bundle, each in BOTH colormap variants
+        batches, b = [], 1
+        while b <= args.serve_bundle:
+            batches.append(b)
+            b *= 2
+        with_viz = "both"
+    else:
+        batches = [int(x) for x in args.batches.split(",") if x.strip()]
+        with_viz = args.viz
     path = export_pipeline(
         pipe,
         (args.size, args.size),
-        with_viz=args.viz,
+        with_viz=with_viz,
+        batches=batches,
         path=args.out or None,
         platforms=platforms,
     )
@@ -722,6 +738,30 @@ def cmd_serve(args) -> int:
     (``Depth_Pro/onnx2trt_webcam.py``)."""
     from monocular_depth_estimation_trt_tpu.apps.server import serve
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    if getattr(args, "engine", ""):
+        # serve straight from a serialized artifact: the deployment box
+        # needs the .mdeteng file only (export with --serve-bundle so the
+        # batch buckets + viz variants exist; weights are stored once)
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        log(f"serving from artifact: {pipe.describe()}")
+        mb = args.max_batch
+        if mb > max(pipe.batches):
+            log(f"--max-batch {mb} exceeds the artifact's largest exported "
+                f"bucket {max(pipe.batches)}; clamping", tag="WARN")
+            mb = max(pipe.batches)
+        serve(pipe, host=args.host, port=args.port,
+              input_hw=tuple(pipe.spec.input_hw), max_queue=args.max_queue,
+              max_batch=mb, batch_window_ms=args.batch_window_ms)
+        return 0
+
+    if not args.model:
+        log("serve: give a model name (or --engine artifact)", tag="ERROR")
+        return 2
 
     kw = {"encoder": args.encoder} if args.encoder else {}
     if args.checkpoint:
@@ -1093,7 +1133,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="single-image inference")
-    run.add_argument("model")
+    run.add_argument("model", nargs="?", default="")
     run.add_argument("--encoder", default="")
     run.add_argument("--image", default="data/example.jpg")
     run.add_argument("--out", default="results")
@@ -1238,6 +1278,12 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--checkpoint", default="")
     exp.add_argument("--viz", action="store_true",
                      help="fuse the colormap epilogue into the artifact")
+    exp.add_argument("--batches", default="1",
+                     help="comma-separated batch sizes to export modules for")
+    exp.add_argument("--serve-bundle", type=int, default=0, metavar="N",
+                     help="export a serve-ready bundle: power-of-two batch "
+                     "buckets up to N, both viz variants (weights stored "
+                     "once) — feeds `mdet serve --engine`")
     exp.add_argument("--out", default="",
                      help="output path (default: <cache>/exported/<name>.mdeteng)")
     exp.add_argument("--platforms", default="cpu,tpu",
@@ -1263,9 +1309,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     serve = sub.add_parser(
         "serve", help="HTTP depth serving (POST images to /v1/depth)")
-    serve.add_argument("model")
+    serve.add_argument("model", nargs="?", default="")
     serve.add_argument("--encoder", default="")
     serve.add_argument("--checkpoint", default="")
+    serve.add_argument("--engine", default="",
+                       help="serve from a serialized .mdeteng artifact "
+                       "(`mdet export --serve-bundle N`) — no model zoo "
+                       "or checkpoints needed")
     _add_precision_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)

@@ -7,24 +7,33 @@ no model code present (``common_runtime.py`` only needs the ``.engine``
 bytes). ``runtime/engine.py`` covers the *build/cache* half of that story
 (AOT compile + XLA persistent cache); this module covers the *shippable
 artifact* half: ``jax.export`` serializes the fused (preprocess + model +
-postprocess) program — with the weights baked in as constants, exactly like
-a TRT plan — into a single ``.mdeteng`` file that any machine with jax can
-deserialize and execute without the model zoo, converters, or checkpoints.
+postprocess) program into a single ``.mdeteng`` file that any machine with
+jax can deserialize and execute without the model zoo, converters, or
+checkpoints.
 
 Because the payload is StableHLO (not a backend binary like a TRT plan), one
 artifact can target several platforms: we export for ``("cpu", "tpu")`` by
 default, so the same file smoke-tests on a CPU host and serves on TPU.
 
-Container format (``MDETENG``): a zip holding
-  - ``meta.json``  — model/spec/shape/precision/outputs metadata
-  - ``module.bin`` — ``jax.export.Exported.serialize()`` bytes
+Container format (``MDETENG`` v2): a zip holding
+  - ``meta.json``        — model/spec/shape/precision metadata + a module
+                           table keyed ``b<batch>[_viz]``
+  - ``modules/<key>.bin``— one ``jax.export.Exported.serialize()`` per
+                           (batch, viz) variant; each takes (param_leaves,
+                           image_batch)
+  - ``params/<i>.bin`` + manifest — the weight snapshot, stored ONCE and
+                           shared by every module (a TRT plan bakes weights
+                           per-plan; sharing is what makes multi-bucket
+                           serve bundles affordable)
 
-CLI surfaces: ``mdet export`` writes an artifact; ``mdet run --engine f``
-and ``load_engine(f)`` execute one.
+CLI surfaces: ``mdet export`` writes an artifact (``--serve-bundle`` adds
+the batch buckets + viz variants dynamic-batching HTTP serving needs);
+``mdet run --engine f`` and ``mdet serve --engine f`` execute one.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import time
@@ -34,12 +43,11 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from monocular_depth_estimation_trt_tpu.config import cache_dir
+from monocular_depth_estimation_trt_tpu.config import ModelSpec, cache_dir
 from monocular_depth_estimation_trt_tpu.utils.logging import log
 
 _META_NAME = "meta.json"
-_MODULE_NAME = "module.bin"
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 DEFAULT_PLATFORMS: Tuple[str, ...] = ("cpu", "tpu")
 
 
@@ -55,44 +63,138 @@ def _abstract(x):
     return x
 
 
-def export_serialized(
-    fn: Callable,
-    example_args: Sequence[Any],
-    path: str,
+def _dtype_from_name(name: str) -> np.dtype:
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes  # bf16 & friends
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _write_leaves(z: zipfile.ZipFile, leaves) -> list:
+    """Store the param snapshot as raw bytes + a manifest (np.savez cannot
+    serialize ml_dtypes like bfloat16 without pickling)."""
+    manifest = []
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        z.writestr(f"params/{i}.bin", arr.tobytes())
+        manifest.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
+    return manifest
+
+
+def _read_leaves(z: zipfile.ZipFile, manifest) -> list:
+    leaves = []
+    for i, m in enumerate(manifest):
+        dt = _dtype_from_name(m["dtype"])
+        buf = z.read(f"params/{i}.bin")
+        leaves.append(np.frombuffer(buf, dtype=dt).reshape(m["shape"]))
+    return leaves
+
+
+def _module_key(batch: int, viz: bool) -> str:
+    return f"b{batch}" + ("_viz" if viz else "")
+
+
+def export_pipeline(
+    pipe,
+    in_hw: Tuple[int, int],
     *,
-    meta: Optional[Dict[str, Any]] = None,
+    with_viz=False,  # False | True | "both"
+    batches: Sequence[int] = (1,),
+    path: Optional[str] = None,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
 ) -> str:
-    """Serialize ``fn`` (weights already closed over) at the example-arg
-    signature into a ``.mdeteng`` container at ``path``."""
+    """Export a pipeline's fused program(s) + weight snapshot as one
+    ``.mdeteng`` container.
+
+    ``with_viz``: False/True export that single colormap variant; ``"both"``
+    exports both (what HTTP serving needs — npz responses use the raw
+    program, jpg responses the fused-colormap one). ``batches`` adds one
+    module per batch size (powers of two for the dynamic-batching server).
+    Works for any pipeline exposing ``engine_for``/``batch_engine_for`` +
+    ``params`` (depth families); the artifact takes the same uint8 inputs
+    the fused programs take and returns the same output dicts.
+    """
     from jax import export as jexport
 
-    abstract = jax.tree_util.tree_map(_abstract, tuple(example_args))
+    leaves, treedef = jax.tree_util.tree_flatten(pipe.params)
+    abstract_leaves = [_abstract(x) for x in leaves]
+    viz_modes = (False, True) if with_viz == "both" else (bool(with_viz),)
+    batches = tuple(sorted(set(int(b) for b in batches)))
+    if any(b < 1 for b in batches):
+        raise ValueError(f"batches must be >= 1, got {batches}")
+
+    base_eng = pipe.engine_for(in_hw, False)
+    name = base_eng.name
+    if path is None:
+        path = os.path.join(exported_dir(), f"{name}.mdeteng")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
     begin = time.time()
-    exp = jexport.export(jax.jit(fn), platforms=tuple(platforms))(*abstract)
-    payload = exp.serialize()
+    modules: Dict[str, Dict[str, Any]] = {}
+    blobs: Dict[str, bytes] = {}
+    output_names: list = []
+    for batch in batches:
+        for viz in viz_modes:
+            if batch == 1:
+                eng = pipe.engine_for(in_hw, viz)
+                img_aval = jax.ShapeDtypeStruct(
+                    (in_hw[0], in_hw[1], 3), np.uint8
+                )
+            else:
+                eng = pipe.batch_engine_for(in_hw, batch, with_viz=viz)
+                img_aval = jax.ShapeDtypeStruct(
+                    (batch, in_hw[0], in_hw[1], 3), np.uint8
+                )
+            fn = eng._fn
+
+            def flat_fn(leaves_in, img, _fn=fn):
+                return _fn(jax.tree_util.tree_unflatten(treedef, leaves_in), img)
+
+            exp = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(
+                abstract_leaves, img_aval
+            )
+            key = _module_key(batch, viz)
+            blobs[key] = exp.serialize()
+            modules[key] = {
+                "batch": batch,
+                "viz": viz,
+                "outputs": [
+                    {"shape": list(a.shape), "dtype": str(a.dtype)}
+                    for a in exp.out_avals
+                ],
+            }
+            if not viz or not output_names:
+                out_struct = jax.eval_shape(flat_fn, abstract_leaves, img_aval)
+                if isinstance(out_struct, dict):
+                    output_names = sorted(out_struct.keys())
+
     entry = {
         "format": "MDETENG",
         "format_version": FORMAT_VERSION,
-        "platforms": list(exp.platforms),
-        "inputs": [
-            {"shape": list(a.shape), "dtype": str(a.dtype)} for a in exp.in_avals
-        ],
-        "outputs": [
-            {"shape": list(a.shape), "dtype": str(a.dtype)} for a in exp.out_avals
-        ],
+        "platforms": list(platforms),
+        "model": getattr(pipe.spec, "model", ""),
+        "artifact": name,
+        "in_hw": list(in_hw),
+        "precision": getattr(pipe.spec, "precision", ""),
+        "viz": getattr(pipe, "viz", "none"),
+        "metric": bool(getattr(pipe.spec, "metric", False)),
+        "inputs": [{"shape": [in_hw[0], in_hw[1], 3], "dtype": "uint8"}],
+        "output_names": output_names,
+        "modules": modules,
         "jax_version": jax.__version__,
         "export_seconds": round(time.time() - begin, 3),
         "timestamp": time.time(),
     }
-    entry.update(meta or {})
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
+        entry["param_manifest"] = _write_leaves(z, leaves)
         z.writestr(_META_NAME, json.dumps(entry, indent=2))
-        z.writestr(_MODULE_NAME, payload)
+        for key, payload in blobs.items():
+            z.writestr(f"modules/{key}.bin", payload)
     log(
-        f"exported engine -> {path} "
-        f"({os.path.getsize(path) / 1e6:.2f} MB, platforms {entry['platforms']})"
+        f"exported engine -> {path} ({os.path.getsize(path) / 1e6:.2f} MB, "
+        f"modules {sorted(modules)}, platforms {entry['platforms']})"
     )
     return path
 
@@ -103,13 +205,15 @@ def read_meta(path: str) -> Dict[str, Any]:
 
 
 class LoadedEngine:
-    """A deserialized ``.mdeteng`` artifact, callable like the pipeline's
-    fused program (image_u8 -> dict of outputs) with zero model code.
+    """A deserialized ``.mdeteng`` artifact with the pipeline calling
+    convention (``__call__``/``batch_call``/``spec``), so every consumer of
+    a registry pipeline — ``mdet run``, the HTTP server, ``apps/offline`` —
+    can serve from the artifact with zero model code.
 
     Mirrors the reference's deserialize-and-run consumer
     (``common_runtime.py``'s ``runtime.deserialize_cuda_engine`` +
-    ``do_inference``): metadata says what shapes it takes; ``__call__``
-    dispatches through jit's fast async path.
+    ``do_inference``): metadata says what shapes it takes; calls dispatch
+    through jit's fast async path.
     """
 
     def __init__(self, path: str):
@@ -117,75 +221,91 @@ class LoadedEngine:
 
         with zipfile.ZipFile(path) as z:
             self.meta = json.loads(z.read(_META_NAME))
-            payload = z.read(_MODULE_NAME)
-        if self.meta.get("format") != "MDETENG":
-            raise ValueError(f"{path}: not an MDETENG artifact")
-        self._exported = jexport.deserialize(payload)
-        self._jitted = jax.jit(self._exported.call)
+            if self.meta.get("format") != "MDETENG":
+                raise ValueError(f"{path}: not an MDETENG artifact")
+            self._leaves = _read_leaves(z, self.meta["param_manifest"])
+            self._fns: Dict[str, Callable] = {}
+            for key in self.meta["modules"]:
+                exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
+                self._fns[key] = jax.jit(exp.call)
         self.path = path
+        hw = self.meta["in_hw"]
+        self.spec = ModelSpec(
+            model=self.meta.get("model") or "engine",
+            input_hw=(int(hw[0]), int(hw[1])),
+            precision=self.meta.get("precision") or "bf16",
+            metric=bool(self.meta.get("metric", False)),
+        )
 
+    # -- introspection ------------------------------------------------------
     @property
     def in_shapes(self):
         return [tuple(i["shape"]) for i in self.meta["inputs"]]
 
-    def __call__(self, *args, device_out: bool = False):
-        out = self._jitted(*args)
-        if device_out:
-            return out
-        return jax.tree_util.tree_map(np.asarray, out)
+    @property
+    def batches(self):
+        return sorted({m["batch"] for m in self.meta["modules"].values()})
 
     def describe(self) -> str:
         m = self.meta
         ins = ", ".join(f"{i['dtype']}{tuple(i['shape'])}" for i in m["inputs"])
         return (
-            f"{m.get('model', '?')} [{m.get('artifact', '')}] "
-            f"in=({ins}) outputs={m.get('output_names', [])} "
-            f"platforms={m.get('platforms')}"
+            f"{m.get('model', '?')} [{m.get('artifact', '')}] in=({ins}) "
+            f"outputs={m.get('output_names', [])} "
+            f"modules={sorted(m['modules'])} platforms={m.get('platforms')}"
         )
+
+    # -- execution -----------------------------------------------------------
+    def _fn_for(self, batch: int, viz: bool) -> Tuple[Callable, int]:
+        """Smallest exported bucket >= batch in the requested viz mode.
+        Falls back to the non-viz module when no viz variant was exported
+        (the caller just gets no "viz" key, same as viz="none" pipelines)."""
+        for want_viz in ([viz, False] if viz else [False]):
+            buckets = sorted(
+                m["batch"]
+                for m in self.meta["modules"].values()
+                if m["viz"] == want_viz and m["batch"] >= batch
+            )
+            if buckets:
+                return self._fns[_module_key(buckets[0], want_viz)], buckets[0]
+        raise ValueError(
+            f"{self.path}: no exported module serves batch={batch} "
+            f"(available: {sorted(self.meta['modules'])}); re-export with "
+            f"--batches/--serve-bundle"
+        )
+
+    def __call__(self, image_u8: np.ndarray, *, viz: bool = False,
+                 device_out: bool = False):
+        fn, bucket = self._fn_for(1, viz)
+        img = np.asarray(image_u8)
+        if bucket > 1:  # only batched modules exported: pad a batch of one
+            img = np.broadcast_to(img, (bucket, *img.shape))
+            out = fn(self._leaves, img)
+            out = {k: v[0] for k, v in out.items()}
+        else:
+            out = fn(self._leaves, img)
+        if device_out:
+            return out
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def batch_call(self, frames: np.ndarray, *, viz: bool = False,
+                   device_out: bool = False):
+        frames = np.asarray(frames)
+        fn, bucket = self._fn_for(frames.shape[0], viz)
+        n = frames.shape[0]
+        if bucket > n:
+            pad = np.repeat(frames[-1:], bucket - n, axis=0)
+            frames = np.concatenate([frames, pad], axis=0)
+        if bucket == 1:
+            out = fn(self._leaves, frames[0])
+            out = {k: v[None] for k, v in out.items()}
+        else:
+            out = fn(self._leaves, frames)
+        out = {k: v[:n] for k, v in out.items()}
+        if device_out:
+            return out
+        return jax.tree_util.tree_map(np.asarray, out)
 
 
 def load_engine(path: str) -> LoadedEngine:
     return LoadedEngine(path)
-
-
-def export_pipeline(
-    pipe,
-    in_hw: Tuple[int, int],
-    *,
-    with_viz: bool = False,
-    path: Optional[str] = None,
-    platforms: Sequence[str] = DEFAULT_PLATFORMS,
-) -> str:
-    """Export a pipeline's fused single-image program with its weights baked
-    in. Works for any pipeline exposing ``engine_for`` + ``params`` (depth
-    and flow families); the artifact takes the same uint8 inputs the fused
-    program takes and returns the same output dict.
-    """
-    eng = pipe.engine_for(in_hw, with_viz)
-    params = pipe.params
-    fn = eng._fn
-    n_img_args = len(eng._example_args) - 1  # (params, img[, img2...])
-
-    def baked(*imgs):
-        return fn(params, *imgs)
-
-    example = tuple(eng._example_args[1:])
-    # name the output keys so a consumer knows what it gets without tracing
-    out_struct = jax.eval_shape(
-        baked, *jax.tree_util.tree_map(_abstract, example)
-    )
-    output_names = (
-        sorted(out_struct.keys()) if isinstance(out_struct, dict) else []
-    )
-    if path is None:
-        path = os.path.join(exported_dir(), f"{eng.name}.mdeteng")
-    meta = {
-        "model": getattr(pipe.spec, "model", ""),
-        "artifact": eng.name,
-        "in_hw": list(in_hw),
-        "with_viz": bool(with_viz),
-        "n_image_args": n_img_args,
-        "precision": getattr(pipe.spec, "precision", ""),
-        "output_names": output_names,
-    }
-    return export_serialized(baked, example, path, meta=meta, platforms=platforms)

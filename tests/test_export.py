@@ -3,11 +3,13 @@
 The reference ships a serialized TRT plan (`Depth_Anything_V2/onnx2trt.py:
 60-68`) that a consumer deserializes and runs without model code
 (`common_runtime.py`). These tests gate our analogue: the `.mdeteng`
-container round-trips the fused program bit-exactly, bakes weights in as
-constants (plan-file semantics), and serves through the CLI.
+container round-trips the fused program bit-exactly, snapshots weights
+(plan-file semantics, stored once and shared by every batch/viz module),
+and serves through the CLI and the HTTP server.
 """
 
 import os
+import zipfile
 
 import numpy as np
 import pytest
@@ -62,12 +64,12 @@ def test_viz_epilogue_is_fused_into_artifact(tmp_path):
     path = export_pipeline(pipe, (16, 16), with_viz=True,
                            path=str(tmp_path / "v.mdeteng"))
     eng = load_engine(path)
-    out = eng(_img())
+    out = eng(_img(), viz=True)
     assert "viz" in out and out["viz"].dtype == np.uint8
-    assert read_meta(path)["with_viz"] is True
+    assert "b1_viz" in read_meta(path)["modules"]
 
 
-def test_weights_are_baked_constants(tmp_path):
+def test_weights_are_snapshotted(tmp_path):
     """Plan-file semantics: mutating the live params after export must not
     change the artifact's outputs."""
     pipe = _toy_pipeline()
@@ -78,6 +80,56 @@ def test_weights_are_baked_constants(tmp_path):
     after = load_engine(path)(img)["depth"]
     np.testing.assert_array_equal(before, after)
     assert not np.allclose(before, np.asarray(pipe(img)["depth"]))
+
+
+def test_weights_stored_once_across_modules(tmp_path):
+    """The serve-bundle's N modules share ONE param snapshot (a TRT plan
+    bakes weights per-plan; sharing is what keeps bundles affordable)."""
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz="both", batches=(1, 2, 4),
+                           path=str(tmp_path / "s.mdeteng"))
+    meta = read_meta(path)
+    assert sorted(meta["modules"]) == [
+        "b1", "b1_viz", "b2", "b2_viz", "b4", "b4_viz"]
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+    assert sum(n.startswith("params/") for n in names) == 2  # w and b, once
+    assert sum(n.startswith("modules/") for n in names) == 6
+
+
+def test_serve_bundle_batch_call_buckets_and_pads(tmp_path):
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz="both", batches=(1, 2, 4),
+                           path=str(tmp_path / "p.mdeteng"))
+    eng = load_engine(path)
+    assert eng.batches == [1, 2, 4]
+    frames = np.stack([_img(seed=s) for s in range(3)])  # 3 -> bucket 4
+    got = eng.batch_call(frames)
+    want = pipe.batch_call(frames)
+    assert got["depth"].shape == (3, 16, 16)
+    np.testing.assert_allclose(got["depth"], want["depth"], rtol=1e-6)
+    # viz variant through the batched module
+    gotv = eng.batch_call(frames, viz=True)
+    assert gotv["viz"].shape[:1] == (3,)
+
+
+def test_missing_bucket_raises_with_hint(tmp_path):
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), batches=(1,),
+                           path=str(tmp_path / "one.mdeteng"))
+    eng = load_engine(path)
+    with pytest.raises(ValueError, match="serve-bundle"):
+        eng.batch_call(np.stack([_img(), _img()]))
+
+
+def test_viz_falls_back_to_raw_module(tmp_path):
+    """An artifact exported without viz still serves viz=True calls (the
+    caller just gets no 'viz' key — same contract as viz='none')."""
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz=False,
+                           path=str(tmp_path / "nv.mdeteng"))
+    out = load_engine(path)(_img(), viz=True)
+    assert "depth" in out and "viz" not in out
 
 
 def test_meta_describes_signature(tmp_path):
@@ -94,15 +146,13 @@ def test_meta_describes_signature(tmp_path):
     eng = load_engine(path)
     assert eng.in_shapes[0] == (16, 16, 3)
     assert "toy_export" in eng.describe()
+    assert eng.spec.artifact_name().startswith("toy_export")
 
 
 def test_load_rejects_non_engine_zip(tmp_path):
-    import zipfile
-
     p = str(tmp_path / "junk.mdeteng")
     with zipfile.ZipFile(p, "w") as z:
         z.writestr("meta.json", "{}")
-        z.writestr("module.bin", b"")
     with pytest.raises(ValueError, match="not an MDETENG artifact"):
         load_engine(p)
 
@@ -116,17 +166,45 @@ def test_cli_export_then_run_engine(tmp_path, monkeypatch):
     monkeypatch.setattr(registry, "build_pipeline",
                         lambda name, **kw: _toy_pipeline())
     eng_path = str(tmp_path / "cli.mdeteng")
-    rc = cli.main(["export", "toy_export", "--size", "16",
+    rc = cli.main(["export", "toy_export", "--size", "16", "--viz",
                    "--out", eng_path, "--platforms", "cpu"])
     assert rc == 0 and os.path.exists(eng_path)
 
     img_path = str(tmp_path / "img.png")
     cv2.imwrite(img_path, _img((20, 24, 3)))  # wrong shape -> auto-resize
     out_dir = tmp_path / "out"
-    rc = cli.main(["run", "unused_model", "--engine", eng_path,
+    rc = cli.main(["run", "--engine", eng_path,
                    "--image", img_path, "--out", str(out_dir)])
     assert rc == 0
-    npz = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    files = os.listdir(out_dir)
+    npz = [f for f in files if f.endswith(".npz")]
     assert len(npz) == 1
     depth = np.load(out_dir / npz[0])["depth"]
     assert depth.shape == (16, 16)
+    assert any(f.endswith(".jpg") for f in files)  # viz module present
+
+
+def test_cli_run_without_model_or_engine_errors():
+    assert cli.main(["run"]) == 2
+
+
+def test_http_server_from_artifact(tmp_path, monkeypatch):
+    """`mdet serve --engine`: DepthServer drives the LoadedEngine through
+    the same pipeline calling convention (single + dynamic batch)."""
+    from monocular_depth_estimation_trt_tpu.apps.server import DepthServer
+
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz="both", batches=(1, 2),
+                           path=str(tmp_path / "srv.mdeteng"))
+    eng = load_engine(path)
+    ds = DepthServer(eng, max_batch=2).start()
+    try:
+        ds.warmup()
+        jobs = [ds.submit(_img(seed=s), viz=(s == 0)) for s in range(2)]
+        for j in jobs:
+            assert j.done.wait(10) and j.error is None
+        assert jobs[0].result["depth"].shape == (16, 16)
+        assert "viz" in jobs[0].result
+        assert ds.health()["model"].startswith("toy_export")
+    finally:
+        ds.stop()
