@@ -309,15 +309,27 @@ def cmd_batch(args) -> int:
         log("batch: no images found", tag="ERROR")
         return 1
 
-    kw = {"encoder": args.encoder} if args.encoder else {}
-    if args.checkpoint:
-        kw["checkpoint"] = args.checkpoint
-    if getattr(args, "precision", ""):
-        kw["precision"] = args.precision
-    ci = _calib_images_from(args)
-    if ci is not None:
-        kw["calib_images"] = ci
-    pipe = build_pipeline(args.model, **kw)
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        log(f"batch-serving from artifact: {pipe.describe()}")
+    else:
+        if not args.model:
+            log("batch: give a model name (or --engine artifact)",
+                tag="ERROR")
+            return 2
+        kw = {"encoder": args.encoder} if args.encoder else {}
+        if args.checkpoint:
+            kw["checkpoint"] = args.checkpoint
+        if getattr(args, "precision", ""):
+            kw["precision"] = args.precision
+        ci = _calib_images_from(args)
+        if ci is not None:
+            kw["calib_images"] = ci
+        pipe = build_pipeline(args.model, **kw)
 
     os.makedirs(args.out, exist_ok=True)
     name = pipe.spec.artifact_name()
@@ -1168,7 +1180,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     batch = sub.add_parser(
         "batch", help="batched offline serving over an image dir or video")
-    batch.add_argument("model")
+    batch.add_argument("model", nargs="?", default="")
+    batch.add_argument("--engine", default="",
+                       help="serve from a serialized .mdeteng artifact "
+                       "(export with a matching --batches bucket)")
     batch.add_argument("--encoder", default="")
     batch.add_argument("--images-dir", default="")
     batch.add_argument("--video", default="")

@@ -307,5 +307,43 @@ class LoadedEngine:
         return jax.tree_util.tree_map(np.asarray, out)
 
 
+    # -- offline batched serving (apps/offline.py contract) -----------------
+    @property
+    def params(self):
+        """Pipeline-contract placeholder: weights live inside the artifact,
+        so consumers that pass ``pipe.params`` explicitly (apps/offline.py)
+        get a token the engine shim ignores."""
+        return None
+
+    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int,
+                         with_viz: bool = False):
+        """Engine-shaped shim over the exported batch module, so
+        ``apps/offline.py::process_images_batched`` can drive an artifact
+        exactly like a registry pipeline."""
+        if tuple(in_hw) != tuple(self.meta["in_hw"]):
+            raise ValueError(
+                f"{self.path} was exported at {tuple(self.meta['in_hw'])}, "
+                f"requested {tuple(in_hw)} (fixed-shape, like TRT plans)"
+            )
+        fn, bucket = self._fn_for(batch, with_viz)
+        if bucket != batch:
+            raise ValueError(
+                f"{self.path}: no exported b{batch} module (nearest bucket "
+                f"{bucket}); re-export with --batches/--serve-bundle"
+            )
+        leaves = self._leaves
+
+        class _Shim:
+            name = f"{self.meta.get('artifact', 'engine')}_b{batch}"
+
+            def compile(self):
+                return self
+
+            def __call__(self, _params, imgs):
+                return fn(leaves, imgs)
+
+        return _Shim()
+
+
 def load_engine(path: str) -> LoadedEngine:
     return LoadedEngine(path)

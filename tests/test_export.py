@@ -188,6 +188,29 @@ def test_cli_run_without_model_or_engine_errors():
     assert cli.main(["run"]) == 2
 
 
+def test_cli_batch_from_artifact(tmp_path):
+    """`mdet batch --engine`: offline batched serving straight from the
+    artifact (apps/offline.py drives the exported batch module)."""
+    import cv2
+
+    pipe = _toy_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), batches=(2,),
+                               path=str(tmp_path / "b2.mdeteng"))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for s in range(3):
+        cv2.imwrite(str(img_dir / f"f{s}.png"), _img(seed=s))
+    out_dir = tmp_path / "bout"
+    rc = cli.main(["batch", "--engine", eng_path, "--images-dir",
+                   str(img_dir), "--batch", "2", "--out", str(out_dir),
+                   "--save"])
+    assert rc == 0
+    npz = sorted(f for f in os.listdir(out_dir) if f.endswith(".npz"))
+    assert len(npz) == 3
+    d = np.load(out_dir / npz[0])["depth"]
+    assert d.shape == (16, 16)
+
+
 def test_http_server_from_artifact(tmp_path, monkeypatch):
     """`mdet serve --engine`: DepthServer drives the LoadedEngine through
     the same pipeline calling convention (single + dynamic batch)."""
