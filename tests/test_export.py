@@ -188,6 +188,41 @@ def test_cli_run_without_model_or_engine_errors():
     assert cli.main(["run"]) == 2
 
 
+def test_int8_bundle_exports_and_roundtrips(tmp_path, monkeypatch):
+    """An int8 w8a8 serving bundle ({"params", "q8"}, docs/QUANT.md) is just
+    a bigger pytree of leaves: quantized kernels + scales snapshot into the
+    artifact and the loaded engine reproduces the live int8 pipeline."""
+    import jax
+    import monocular_depth_estimation_trt_tpu.models.depth_anything_v2 as da_mod
+    from monocular_depth_estimation_trt_tpu.models.vit import ViTConfig
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+
+    real = da_mod.DepthAnythingV2
+    cfg = ViTConfig(dim=64, depth=2, num_heads=4, pretrain_img_size=56)
+
+    def tiny(encoder="vits", **kw):
+        kw.update(vit_config=cfg, head_features=16,
+                  head_out_channels=(8, 16, 32, 32), out_indices=(0, 1, 0, 1))
+        return real(encoder="tiny", **kw)
+
+    monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    m = tiny(dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, 56, 56, 3)))["params"]
+    pipe_q = build_pipeline("depth_anything_v2", encoder="vits",
+                            precision="int8", input_size=56, params=params)
+    assert "q8" in pipe_q.params
+
+    path = export_pipeline(pipe_q, (56, 56),
+                           path=str(tmp_path / "q.mdeteng"))
+    eng = load_engine(path)
+    assert eng.spec.precision == "int8"
+    img = _img((56, 56, 3))
+    got = eng(img)["depth"]
+    want = pipe_q(img)["depth"]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_batch_from_artifact(tmp_path):
     """`mdet batch --engine`: offline batched serving straight from the
     artifact (apps/offline.py drives the exported batch module)."""
