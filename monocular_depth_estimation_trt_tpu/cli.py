@@ -426,13 +426,29 @@ def cmd_video(args) -> int:
     from monocular_depth_estimation_trt_tpu.apps.streaming import run_video
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
-    kw = {"encoder": args.encoder} if args.encoder else {}
-    if getattr(args, "precision", ""):
-        kw["precision"] = args.precision
-    ci = _calib_images_from(args)
-    if ci is not None:
-        kw["calib_images"] = ci
-    pipe = build_pipeline(args.model, **kw)
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        if not any(m["viz"] for m in pipe.meta["modules"].values()):
+            log("video needs a viz module; re-export with --viz or "
+                "--serve-bundle", tag="ERROR")
+            return 2
+        log(f"video from artifact: {pipe.describe()}")
+    else:
+        if not args.model:
+            log("video: give a model name (or --engine artifact)",
+                tag="ERROR")
+            return 2
+        kw = {"encoder": args.encoder} if args.encoder else {}
+        if getattr(args, "precision", ""):
+            kw["precision"] = args.precision
+        ci = _calib_images_from(args)
+        if ci is not None:
+            kw["calib_images"] = ci
+        pipe = build_pipeline(args.model, **kw)
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.splitext(os.path.basename(args.video))[0]
     out_path = os.path.join(args.out, f"{stem}_{pipe.spec.artifact_name()}.mp4")
@@ -538,13 +554,25 @@ def cmd_webcam(args) -> int:
     from monocular_depth_estimation_trt_tpu.apps.streaming import run_webcam
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
-    kw = {"encoder": args.encoder} if args.encoder else {}
-    if getattr(args, "precision", ""):
-        kw["precision"] = args.precision
-    ci = _calib_images_from(args)
-    if ci is not None:
-        kw["calib_images"] = ci
-    pipe = build_pipeline(args.model, **kw)
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        log(f"webcam from artifact: {pipe.describe()}")
+    else:
+        if not args.model:
+            log("webcam: give a model name (or --engine artifact)",
+                tag="ERROR")
+            return 2
+        kw = {"encoder": args.encoder} if args.encoder else {}
+        if getattr(args, "precision", ""):
+            kw["precision"] = args.precision
+        ci = _calib_images_from(args)
+        if ci is not None:
+            kw["calib_images"] = ci
+        pipe = build_pipeline(args.model, **kw)
     camera = args.camera
     if camera.isdigit():
         camera = int(camera)
@@ -1227,7 +1255,10 @@ def build_parser() -> argparse.ArgumentParser:
     flow.set_defaults(fn=cmd_flow)
 
     video = sub.add_parser("video", help="depth over a video file")
-    video.add_argument("model")
+    video.add_argument("model", nargs="?", default="")
+    video.add_argument("--engine", default="",
+                       help="serve from a serialized .mdeteng artifact "
+                       "(needs a viz module: export with --viz)")
     video.add_argument("--encoder", default="")
     video.add_argument("--video", required=True)
     video.add_argument("--out", default="results")
@@ -1265,7 +1296,9 @@ def build_parser() -> argparse.ArgumentParser:
     pair.set_defaults(fn=cmd_pair)
 
     webcam = sub.add_parser("webcam", help="live depth viewer (webcam or IP cam)")
-    webcam.add_argument("model")
+    webcam.add_argument("model", nargs="?", default="")
+    webcam.add_argument("--engine", default="",
+                        help="serve from a serialized .mdeteng artifact")
     webcam.add_argument("--encoder", default="")
     webcam.add_argument("--camera", default="0",
                         help="device index or IP camera URL")

@@ -274,10 +274,25 @@ class LoadedEngine:
             f"--batches/--serve-bundle"
         )
 
+    def _fit(self, img: np.ndarray) -> np.ndarray:
+        """Resize to the artifact's fixed input shape (TRT-plan semantics:
+        the reference's video/webcam apps resize every frame to the
+        engine's pinned binding shape, ``Depth_Pro/onnx2trt_video.py``)."""
+        want = tuple(self.meta["in_hw"])
+        if tuple(img.shape[:2]) == want:
+            return img
+        import cv2
+
+        if not getattr(self, "_warned_resize", False):
+            log(f"engine input {img.shape[:2]} -> {want} (fixed-shape "
+                "artifact; frames are resized)")
+            self._warned_resize = True
+        return cv2.resize(img, (want[1], want[0]))
+
     def __call__(self, image_u8: np.ndarray, *, viz: bool = False,
                  device_out: bool = False):
         fn, bucket = self._fn_for(1, viz)
-        img = np.asarray(image_u8)
+        img = self._fit(np.asarray(image_u8))
         if bucket > 1:  # only batched modules exported: pad a batch of one
             img = np.broadcast_to(img, (bucket, *img.shape))
             out = fn(self._leaves, img)
@@ -291,6 +306,8 @@ class LoadedEngine:
     def batch_call(self, frames: np.ndarray, *, viz: bool = False,
                    device_out: bool = False):
         frames = np.asarray(frames)
+        if tuple(frames.shape[1:3]) != tuple(self.meta["in_hw"]):
+            frames = np.stack([self._fit(f) for f in frames])
         fn, bucket = self._fn_for(frames.shape[0], viz)
         n = frames.shape[0]
         if bucket > n:

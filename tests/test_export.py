@@ -188,6 +188,7 @@ def test_cli_run_without_model_or_engine_errors():
     assert cli.main(["run"]) == 2
 
 
+@pytest.mark.slow
 def test_int8_bundle_exports_and_roundtrips(tmp_path, monkeypatch):
     """An int8 w8a8 serving bundle ({"params", "q8"}, docs/QUANT.md) is just
     a bigger pytree of leaves: quantized kernels + scales snapshot into the
@@ -244,6 +245,41 @@ def test_cli_batch_from_artifact(tmp_path):
     assert len(npz) == 3
     d = np.load(out_dir / npz[0])["depth"]
     assert d.shape == (16, 16)
+
+
+def test_cli_video_from_artifact(tmp_path):
+    """`mdet video --engine`: per-frame streaming from the artifact, with
+    frames auto-resized to the fixed input shape (TRT-plan semantics)."""
+    import cv2
+
+    pipe = _toy_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), with_viz=True,
+                               path=str(tmp_path / "vid.mdeteng"))
+    vp = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (64, 48))
+    for s in range(4):
+        writer.write(cv2.cvtColor(_img((48, 64, 3), seed=s),
+                                  cv2.COLOR_RGB2BGR))
+    writer.release()
+    out_dir = tmp_path / "vout"
+    rc = cli.main(["video", "--engine", eng_path, "--video", vp,
+                   "--out", str(out_dir)])
+    assert rc == 0
+    mp4 = [f for f in os.listdir(out_dir) if f.endswith(".mp4")]
+    assert len(mp4) == 1
+    cap = cv2.VideoCapture(str(out_dir / mp4[0]))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    cap.release()
+
+
+def test_cli_video_engine_without_viz_errors(tmp_path):
+    pipe = _toy_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), with_viz=False,
+                               path=str(tmp_path / "nv2.mdeteng"))
+    rc = cli.main(["video", "--engine", eng_path, "--video", "x.mp4",
+                   "--out", str(tmp_path)])
+    assert rc == 2
 
 
 def test_http_server_from_artifact(tmp_path, monkeypatch):
