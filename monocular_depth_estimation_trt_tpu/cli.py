@@ -397,17 +397,33 @@ def cmd_flow(args) -> int:
     )
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
-    kw = {}
-    if args.iters:
-        kw["iters"] = args.iters
-    pipe = build_pipeline(args.model, **kw)
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        log(f"flow from artifact: {pipe.describe()}")
+        model_name = pipe.spec.model
+        n_imgs = int(pipe.meta.get("n_image_args", 1))
+    else:
+        if not args.model:
+            log("flow: give a model name (or --engine artifact)",
+                tag="ERROR")
+            return 2
+        kw = {}
+        if args.iters:
+            kw["iters"] = args.iters
+        pipe = build_pipeline(args.model, **kw)
+        model_name = args.model
+        n_imgs = 3 if args.model == "memfof" else 2
     frames_dir = args.frames
     if args.video:
         frames_dir = os.path.join(args.out, "_frames")
         extract_frames_from_video(args.video, frames_dir, max_frames=args.max_frames)
     os.makedirs(args.out, exist_ok=True)
-    out_path = os.path.join(args.out, f"{args.model}_flow.mp4")
-    if args.model == "memfof":
+    out_path = os.path.join(args.out, f"{model_name}_flow.mp4")
+    if n_imgs == 3:
         from monocular_depth_estimation_trt_tpu.apps.streaming import (
             run_flow_triplets,
         )
@@ -1245,8 +1261,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(parallel/sharding.py tensor-parallel rules)")
 
     flow = sub.add_parser("flow", help="optical flow over frames/video")
-    flow.add_argument("model",
-                      choices=["raft", "neuflow", "meflow", "memfof", "waft"])
+    flow.add_argument("model", nargs="?", default="",
+                      choices=["raft", "neuflow", "meflow", "memfof", "waft",
+                               ""])
+    flow.add_argument("--engine", default="",
+                      help="serve from a serialized .mdeteng artifact "
+                      "(export a flow model with --viz)")
     flow.add_argument("--frames", default="video_frames")
     flow.add_argument("--video", default="")
     flow.add_argument("--out", default="results")

@@ -127,6 +127,12 @@ def export_pipeline(
 
     base_eng = pipe.engine_for(in_hw, False)
     name = base_eng.name
+    n_images = len(base_eng._example_args) - 1  # (params, img[, img2 ...])
+    if n_images > 1 and batches != (1,):
+        raise ValueError(
+            f"batched modules are single-image only; this pipeline takes "
+            f"{n_images} images per call"
+        )
     if path is None:
         path = os.path.join(exported_dir(), f"{name}.mdeteng")
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -139,21 +145,22 @@ def export_pipeline(
         for viz in viz_modes:
             if batch == 1:
                 eng = pipe.engine_for(in_hw, viz)
-                img_aval = jax.ShapeDtypeStruct(
-                    (in_hw[0], in_hw[1], 3), np.uint8
-                )
+                img_avals = [_abstract(a) for a in eng._example_args[1:]]
             else:
                 eng = pipe.batch_engine_for(in_hw, batch, with_viz=viz)
-                img_aval = jax.ShapeDtypeStruct(
-                    (batch, in_hw[0], in_hw[1], 3), np.uint8
-                )
+                img_avals = [
+                    jax.ShapeDtypeStruct((batch, in_hw[0], in_hw[1], 3),
+                                         np.uint8)
+                ]
             fn = eng._fn
 
-            def flat_fn(leaves_in, img, _fn=fn):
-                return _fn(jax.tree_util.tree_unflatten(treedef, leaves_in), img)
+            def flat_fn(leaves_in, *imgs, _fn=fn):
+                return _fn(
+                    jax.tree_util.tree_unflatten(treedef, leaves_in), *imgs
+                )
 
             exp = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(
-                abstract_leaves, img_aval
+                abstract_leaves, *img_avals
             )
             key = _module_key(batch, viz)
             blobs[key] = exp.serialize()
@@ -166,7 +173,9 @@ def export_pipeline(
                 ],
             }
             if not viz or not output_names:
-                out_struct = jax.eval_shape(flat_fn, abstract_leaves, img_aval)
+                out_struct = jax.eval_shape(
+                    flat_fn, abstract_leaves, *img_avals
+                )
                 if isinstance(out_struct, dict):
                     output_names = sorted(out_struct.keys())
 
@@ -180,7 +189,9 @@ def export_pipeline(
         "precision": getattr(pipe.spec, "precision", ""),
         "viz": getattr(pipe, "viz", "none"),
         "metric": bool(getattr(pipe.spec, "metric", False)),
-        "inputs": [{"shape": [in_hw[0], in_hw[1], 3], "dtype": "uint8"}],
+        "inputs": [{"shape": [in_hw[0], in_hw[1], 3], "dtype": "uint8"}
+                   ] * n_images,
+        "n_image_args": n_images,
         "output_names": output_names,
         "modules": modules,
         "jax_version": jax.__version__,
@@ -289,22 +300,32 @@ class LoadedEngine:
             self._warned_resize = True
         return cv2.resize(img, (want[1], want[0]))
 
-    def __call__(self, image_u8: np.ndarray, *, viz: bool = False,
-                 device_out: bool = False):
+    def __call__(self, *images, viz: bool = False, device_out: bool = False):
+        want = int(self.meta.get("n_image_args", 1))
+        if len(images) != want:
+            raise TypeError(
+                f"{self.path} takes {want} image(s) per call, got "
+                f"{len(images)}"
+            )
         fn, bucket = self._fn_for(1, viz)
-        img = self._fit(np.asarray(image_u8))
+        imgs = [self._fit(np.asarray(im)) for im in images]
         if bucket > 1:  # only batched modules exported: pad a batch of one
-            img = np.broadcast_to(img, (bucket, *img.shape))
-            out = fn(self._leaves, img)
+            out = fn(self._leaves,
+                     np.broadcast_to(imgs[0], (bucket, *imgs[0].shape)))
             out = {k: v[0] for k, v in out.items()}
         else:
-            out = fn(self._leaves, img)
+            out = fn(self._leaves, *imgs)
         if device_out:
             return out
         return jax.tree_util.tree_map(np.asarray, out)
 
     def batch_call(self, frames: np.ndarray, *, viz: bool = False,
                    device_out: bool = False):
+        if int(self.meta.get("n_image_args", 1)) != 1:
+            raise ValueError(
+                f"{self.path}: batched serving is single-image only; this "
+                f"artifact takes {self.meta['n_image_args']} images per call"
+            )
         frames = np.asarray(frames)
         if tuple(frames.shape[1:3]) != tuple(self.meta["in_hw"]):
             frames = np.stack([self._fit(f) for f in frames])

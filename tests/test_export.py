@@ -282,6 +282,60 @@ def test_cli_video_engine_without_viz_errors(tmp_path):
     assert rc == 2
 
 
+def _toy_flow_pipeline():
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+
+    spec = ModelSpec(model="toy_flow", input_hw=(16, 16))
+    params = {"s": jnp.asarray(0.1, jnp.float32)}
+
+    def forward(params, img1, img2):
+        d = (img2.astype(jnp.float32) - img1.astype(jnp.float32)) * params["s"]
+        return {"flow": d[..., :2]}
+
+    return FlowPipeline(spec, forward, params)
+
+
+def test_flow_pipeline_exports_two_image_artifact(tmp_path):
+    """FlowPipeline (two uint8 frames in) exports and round-trips; the
+    artifact enforces its image arity."""
+    pipe = _toy_flow_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz="both",
+                           path=str(tmp_path / "f.mdeteng"))
+    eng = load_engine(path)
+    assert eng.meta["n_image_args"] == 2
+    f1, f2 = _img(seed=1), _img(seed=2)
+    got = eng(f1, f2)
+    want = pipe(f1, f2)
+    np.testing.assert_allclose(got["flow"], want["flow"], rtol=1e-6)
+    assert "viz" in eng(f1, f2, viz=True)
+    with pytest.raises(TypeError, match="2 image"):
+        eng(f1)
+    with pytest.raises(ValueError, match="single-image only"):
+        eng.batch_call(np.stack([f1, f2]))
+    with pytest.raises(ValueError, match="single-image only"):
+        export_pipeline(pipe, (16, 16), batches=(1, 2),
+                        path=str(tmp_path / "fb.mdeteng"))
+
+
+def test_cli_flow_from_artifact(tmp_path):
+    """`mdet flow --engine`: consecutive-frame flow straight from a flow
+    artifact (color-wheel mp4 out)."""
+    import cv2
+
+    pipe = _toy_flow_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), with_viz=True,
+                               path=str(tmp_path / "fc.mdeteng"))
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for s in range(3):
+        cv2.imwrite(str(frames / f"f{s}.png"), _img(seed=s))
+    out_dir = tmp_path / "fout"
+    rc = cli.main(["flow", "--engine", eng_path, "--frames", str(frames),
+                   "--out", str(out_dir)])
+    assert rc == 0
+    assert os.path.exists(out_dir / "toy_flow_flow.mp4")
+
+
 def test_http_server_from_artifact(tmp_path, monkeypatch):
     """`mdet serve --engine`: DepthServer drives the LoadedEngine through
     the same pipeline calling convention (single + dynamic batch)."""
