@@ -369,6 +369,22 @@ def cmd_bench(args) -> int:
     from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        eng = load_engine(args.engine)
+        log(f"benchmarking artifact: {eng.describe()}")
+        cfg = BenchmarkConfig(warmup=args.warmup,
+                              iterations=args.iterations)
+        eng.benchmark(config=cfg).print()
+        return 0
+
+    if not args.model:
+        log("bench: give a model name (or --engine artifact)", tag="ERROR")
+        return 2
+
     kw = {"encoder": args.encoder} if args.encoder else {}
     if getattr(args, "precision", ""):
         kw["precision"] = args.precision
@@ -1243,7 +1259,10 @@ def build_parser() -> argparse.ArgumentParser:
     batch.set_defaults(fn=cmd_batch)
 
     bench = sub.add_parser("bench", help="benchmark a model config")
-    bench.add_argument("model")
+    bench.add_argument("model", nargs="?", default="")
+    bench.add_argument("--engine", default="",
+                       help="benchmark a serialized .mdeteng artifact "
+                       "(same pipelined-dispatch protocol)")
     bench.add_argument("--encoder", default="")
     _add_precision_args(bench)
     bench.add_argument("--size", type=int, default=518)

@@ -353,16 +353,11 @@ class LoadedEngine:
         get a token the engine shim ignores."""
         return None
 
-    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int,
-                         with_viz: bool = False):
-        """Engine-shaped shim over the exported batch module, so
-        ``apps/offline.py::process_images_batched`` can drive an artifact
-        exactly like a registry pipeline."""
-        if tuple(in_hw) != tuple(self.meta["in_hw"]):
-            raise ValueError(
-                f"{self.path} was exported at {tuple(self.meta['in_hw'])}, "
-                f"requested {tuple(in_hw)} (fixed-shape, like TRT plans)"
-            )
+    def _engine_shim(self, batch: int, with_viz: bool):
+        """Engine-shaped view of one exported module (``compile()`` no-op +
+        ``__call__(params, *imgs)`` ignoring the params token), so consumers
+        of the ``runtime.engine.Engine`` contract — ``apps/offline.py``,
+        ``DepthPipeline.benchmark`` — drive artifacts unchanged."""
         fn, bucket = self._fn_for(batch, with_viz)
         if bucket != batch:
             raise ValueError(
@@ -377,10 +372,44 @@ class LoadedEngine:
             def compile(self):
                 return self
 
-            def __call__(self, _params, imgs):
-                return fn(leaves, imgs)
+            def __call__(self, _params, *imgs):
+                return fn(leaves, *imgs)
 
         return _Shim()
+
+    def _check_hw(self, in_hw) -> None:
+        if tuple(in_hw) != tuple(self.meta["in_hw"]):
+            raise ValueError(
+                f"{self.path} was exported at {tuple(self.meta['in_hw'])}, "
+                f"requested {tuple(in_hw)} (fixed-shape, like TRT plans)"
+            )
+
+    def engine_for(self, in_hw: Tuple[int, int], with_viz: bool = False):
+        self._check_hw(in_hw)
+        return self._engine_shim(1, with_viz)
+
+    def benchmark(self, in_hw=None, config=None, **kw):
+        """Measured-FPS protocol on the artifact itself (`mdet bench
+        --engine`): reuses DepthPipeline.benchmark verbatim — pipelined
+        dispatch + tunnel-aware transfer accounting — which only touches
+        ``engine_for``/``params``/``spec``, all provided here. Lets the
+        zero-overhead-vs-live-pipeline claim be measured, not asserted."""
+        from monocular_depth_estimation_trt_tpu.pipelines import (
+            DepthPipeline,
+        )
+
+        if int(self.meta.get("n_image_args", 1)) != 1:
+            raise ValueError(
+                "benchmark supports single-image artifacts; this one takes "
+                f"{self.meta['n_image_args']} images per call"
+            )
+        in_hw = tuple(in_hw or self.meta["in_hw"])
+        return DepthPipeline.benchmark(self, in_hw, config, **kw)
+
+    def batch_engine_for(self, in_hw: Tuple[int, int], batch: int,
+                         with_viz: bool = False):
+        self._check_hw(in_hw)
+        return self._engine_shim(batch, with_viz)
 
 
 def load_engine(path: str) -> LoadedEngine:

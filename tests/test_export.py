@@ -188,6 +188,30 @@ def test_cli_run_without_model_or_engine_errors():
     assert cli.main(["run"]) == 2
 
 
+def test_benchmark_on_artifact(tmp_path):
+    """LoadedEngine.benchmark reuses the pipeline protocol; `mdet bench
+    --engine` runs it end-to-end. (No stdout assertion: the [MDET] logger
+    binds sys.stdout at first use, so per-test capture misses it.)"""
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), path=str(tmp_path / "bm.mdeteng"))
+    rc = cli.main(["bench", "--engine", path,
+                   "--warmup", "1", "--iterations", "2"])
+    assert rc == 0
+
+    eng = load_engine(path)
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+
+    rep = eng.benchmark(config=BenchmarkConfig(warmup=1, iterations=2))
+    assert rep.avg_ms > 0
+
+
+def test_benchmark_rejects_flow_artifact(tmp_path):
+    path = export_pipeline(_toy_flow_pipeline(), (16, 16),
+                           path=str(tmp_path / "bf.mdeteng"))
+    with pytest.raises(ValueError, match="single-image"):
+        load_engine(path).benchmark()
+
+
 @pytest.mark.slow
 def test_int8_bundle_exports_and_roundtrips(tmp_path, monkeypatch):
     """An int8 w8a8 serving bundle ({"params", "q8"}, docs/QUANT.md) is just
