@@ -136,7 +136,7 @@ def cmd_run(args) -> int:
             img = cv2.resize(img, (want_hw[1], want_hw[0]))
         out = eng(img, viz=True)
         name = eng.meta.get("artifact", "engine")
-        return _write_run_outputs(args, img, out, name)
+        return _write_run_outputs(args, img, out, name, pipe=eng)
 
     if not args.model:
         log("run: give a model name (or --engine artifact)", tag="ERROR")
