@@ -129,11 +129,9 @@ def cmd_run(args) -> int:
 
         eng = load_engine(args.engine)
         log(f"loaded engine: {eng.describe()}")
-        want_hw = eng.in_shapes[0][:2]
-        if tuple(img.shape[:2]) != tuple(want_hw):
-            log(f"resizing {img.shape[:2]} -> {tuple(want_hw)} "
-                "(serialized engines are fixed-shape, like TRT plans)")
-            img = cv2.resize(img, (want_hw[1], want_hw[0]))
+        # fit up front (not just inside the call) so the artifact-writing
+        # tail colors pointclouds from the frame the depth was computed on
+        img = eng.fit(img)
         out = eng(img, viz=True)
         name = eng.meta.get("artifact", "engine")
         return _write_run_outputs(args, img, out, name, pipe=eng)
@@ -163,9 +161,10 @@ def cmd_run(args) -> int:
                               pipe=pipe)
 
 
-def _write_run_outputs(args, img, out, name, pipe=None) -> int:
+def _write_run_outputs(args, img, out, name, pipe) -> int:
     """Artifact-writing tail shared by the model path and the serialized-
-    engine path of ``mdet run`` (jpg/npz/fov/pointcloud/compare)."""
+    engine path of ``mdet run`` (jpg/npz/fov/pointcloud/compare). ``pipe``
+    is a registry pipeline or a LoadedEngine — both expose benchmark()."""
     import cv2
 
     os.makedirs(args.out, exist_ok=True)
@@ -187,7 +186,7 @@ def _write_run_outputs(args, img, out, name, pipe=None) -> int:
         npz = os.path.join(args.out, f"{stem}_{name}.npz")
         np.savez_compressed(npz, **{k: np.asarray(v) for k, v in out.items()})
         log(f"wrote {npz}")
-        if args.benchmark and pipe is not None:
+        if args.benchmark:
             pipe.benchmark((img.shape[0], img.shape[1])).print()
         return 0
 
@@ -266,10 +265,7 @@ def _write_run_outputs(args, img, out, name, pipe=None) -> int:
             return 1
 
     if args.benchmark:
-        if pipe is None:
-            log("--benchmark needs a model config (not --engine)", tag="WARN")
-        else:
-            pipe.benchmark((img.shape[0], img.shape[1])).print()
+        pipe.benchmark((img.shape[0], img.shape[1])).print()
     return 0
 
 
@@ -419,9 +415,16 @@ def cmd_flow(args) -> int:
         )
 
         pipe = load_engine(args.engine)
+        n_imgs = int(pipe.meta.get("n_image_args", 1))
+        if n_imgs not in (2, 3):
+            log(f"flow needs a 2- or 3-frame artifact; {args.engine} takes "
+                f"{n_imgs} image(s) per call", tag="ERROR")
+            return 2
+        if not any(m["viz"] for m in pipe.meta["modules"].values()):
+            log("flow needs a viz module; re-export with --viz", tag="ERROR")
+            return 2
         log(f"flow from artifact: {pipe.describe()}")
         model_name = pipe.spec.model
-        n_imgs = int(pipe.meta.get("n_image_args", 1))
     else:
         if not args.model:
             log("flow: give a model name (or --engine artifact)",
@@ -592,6 +595,10 @@ def cmd_webcam(args) -> int:
         )
 
         pipe = load_engine(args.engine)
+        if not any(m["viz"] for m in pipe.meta["modules"].values()):
+            log("webcam needs a viz module; re-export with --viz or "
+                "--serve-bundle", tag="ERROR")
+            return 2
         log(f"webcam from artifact: {pipe.describe()}")
     else:
         if not args.model:

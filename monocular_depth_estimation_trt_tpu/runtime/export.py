@@ -122,8 +122,9 @@ def export_pipeline(
     abstract_leaves = [_abstract(x) for x in leaves]
     viz_modes = (False, True) if with_viz == "both" else (bool(with_viz),)
     batches = tuple(sorted(set(int(b) for b in batches)))
-    if any(b < 1 for b in batches):
-        raise ValueError(f"batches must be >= 1, got {batches}")
+    if not batches or any(b < 1 for b in batches):
+        raise ValueError(f"batches must be a non-empty list of sizes >= 1, "
+                         f"got {batches!r}")
 
     base_eng = pipe.engine_for(in_hw, False)
     name = base_eng.name
@@ -173,8 +174,10 @@ def export_pipeline(
                 ],
             }
             if not viz or not output_names:
-                out_struct = jax.eval_shape(
-                    flat_fn, abstract_leaves, *img_avals
+                # free (no re-trace): the Exported already carries its
+                # output pytree; prefer the raw module's key set
+                out_struct = jax.tree_util.tree_unflatten(
+                    exp.out_tree, list(exp.out_avals)
                 )
                 if isinstance(out_struct, dict):
                     output_names = sorted(out_struct.keys())
@@ -230,11 +233,21 @@ class LoadedEngine:
     def __init__(self, path: str):
         from jax import export as jexport
 
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            device_put_chunked,
+        )
+
         with zipfile.ZipFile(path) as z:
             self.meta = json.loads(z.read(_META_NAME))
             if self.meta.get("format") != "MDETENG":
                 raise ValueError(f"{path}: not an MDETENG artifact")
-            self._leaves = _read_leaves(z, self.meta["param_manifest"])
+            # device-resident once: numpy leaves would be re-transferred
+            # host->device on EVERY call (the reference's analogue loads
+            # engine weights to the GPU once at deserialize time)
+            self._leaves = [
+                device_put_chunked(leaf)
+                for leaf in _read_leaves(z, self.meta["param_manifest"])
+            ]
             self._fns: Dict[str, Callable] = {}
             for key in self.meta["modules"]:
                 exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
@@ -268,10 +281,12 @@ class LoadedEngine:
 
     # -- execution -----------------------------------------------------------
     def _fn_for(self, batch: int, viz: bool) -> Tuple[Callable, int]:
-        """Smallest exported bucket >= batch in the requested viz mode.
-        Falls back to the non-viz module when no viz variant was exported
-        (the caller just gets no "viz" key, same as viz="none" pipelines)."""
-        for want_viz in ([viz, False] if viz else [False]):
+        """Smallest exported bucket >= batch in the requested viz mode,
+        falling back to the other variant when only one was exported: a
+        viz=True caller on a raw artifact just gets no "viz" key (same as
+        viz="none" pipelines); a viz=False caller on a --viz-only artifact
+        gets an extra "viz" key (the module computes depth either way)."""
+        for want_viz in (viz, not viz):
             buckets = sorted(
                 m["batch"]
                 for m in self.meta["modules"].values()
@@ -285,7 +300,7 @@ class LoadedEngine:
             f"--batches/--serve-bundle"
         )
 
-    def _fit(self, img: np.ndarray) -> np.ndarray:
+    def fit(self, img: np.ndarray) -> np.ndarray:
         """Resize to the artifact's fixed input shape (TRT-plan semantics:
         the reference's video/webcam apps resize every frame to the
         engine's pinned binding shape, ``Depth_Pro/onnx2trt_video.py``)."""
@@ -308,7 +323,7 @@ class LoadedEngine:
                 f"{len(images)}"
             )
         fn, bucket = self._fn_for(1, viz)
-        imgs = [self._fit(np.asarray(im)) for im in images]
+        imgs = [self.fit(np.asarray(im)) for im in images]
         if bucket > 1:  # only batched modules exported: pad a batch of one
             out = fn(self._leaves,
                      np.broadcast_to(imgs[0], (bucket, *imgs[0].shape)))
@@ -328,7 +343,7 @@ class LoadedEngine:
             )
         frames = np.asarray(frames)
         if tuple(frames.shape[1:3]) != tuple(self.meta["in_hw"]):
-            frames = np.stack([self._fit(f) for f in frames])
+            frames = np.stack([self.fit(f) for f in frames])
         fn, bucket = self._fn_for(frames.shape[0], viz)
         n = frames.shape[0]
         if bucket > n:

@@ -67,6 +67,9 @@ def device_put_chunked(
 ) -> jax.Array:
     """Transfer a host array, splitting >=max_bytes payloads into leading-
     axis chunks reassembled on device."""
+    if getattr(arr, "ndim", None) == 0:
+        # before ascontiguousarray: it promotes 0-d arrays to shape (1,)
+        return jax.device_put(arr, device)
     arr = np.ascontiguousarray(arr)
     if arr.nbytes <= max_bytes or arr.ndim == 0 or arr.shape[0] <= 1:
         return jax.device_put(arr, device)

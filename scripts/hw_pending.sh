@@ -21,4 +21,15 @@ timeout 14400 python bench_all.py --isolate \
 python scripts/merge_bench.py BENCH_QUANT.json BENCH_ALL.json
 python scripts/gen_readme_table.py
 
+# 4. serialized-artifact smoke on real TPU: export, serve from the file,
+#    and bench it with the same protocol (expected: FPS == live row)
+timeout 2400 python -m monocular_depth_estimation_trt_tpu --allow-random-weights \
+    export depth_anything_v2 --encoder vits --out /tmp/da_vits_hw.mdeteng \
+    2>&1 | tee /tmp/hw_export.log
+timeout 2400 python -m monocular_depth_estimation_trt_tpu run \
+    --engine /tmp/da_vits_hw.mdeteng --image data/example.jpg \
+    --out /tmp/hw_engine_out 2>&1 | tee -a /tmp/hw_export.log
+timeout 2400 python -m monocular_depth_estimation_trt_tpu bench \
+    --engine /tmp/da_vits_hw.mdeteng --iterations 50 2>&1 | tee -a /tmp/hw_export.log
+
 echo "[hw_pending] done — update docs/QUANT.md + docs/PERF.md 'pending' notes"

@@ -132,6 +132,44 @@ def test_viz_falls_back_to_raw_module(tmp_path):
     assert "depth" in out and "viz" not in out
 
 
+def test_raw_falls_back_to_viz_module(tmp_path):
+    """A --viz-only artifact serves viz=False consumers too (benchmark,
+    npz serving): the viz module computes depth either way; the caller
+    just gets an extra 'viz' key."""
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz=True,
+                           path=str(tmp_path / "vo.mdeteng"))
+    eng = load_engine(path)
+    out = eng(_img(), viz=False)
+    assert "depth" in out and "viz" in out
+    # benchmark routes through engine_for(hw, False) — must not raise
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+
+    assert eng.benchmark(config=BenchmarkConfig(warmup=1,
+                                                iterations=2)).avg_ms > 0
+
+
+def test_export_rejects_empty_batches(tmp_path):
+    with pytest.raises(ValueError, match="non-empty"):
+        export_pipeline(_toy_pipeline(), (16, 16), batches=(),
+                        path=str(tmp_path / "e.mdeteng"))
+
+
+def test_cli_webcam_and_flow_engine_checks(tmp_path):
+    """Non-viz artifacts are rejected up front by webcam; wrong-arity
+    artifacts by flow (no deep KeyError/TypeError tracebacks)."""
+    depth_raw = export_pipeline(_toy_pipeline(), (16, 16), with_viz=False,
+                                path=str(tmp_path / "draw.mdeteng"))
+    assert cli.main(["webcam", "--engine", depth_raw]) == 2
+    assert cli.main(["flow", "--engine", depth_raw,
+                     "--frames", str(tmp_path)]) == 2  # 1-image artifact
+    flow_raw = export_pipeline(_toy_flow_pipeline(), (16, 16),
+                               with_viz=False,
+                               path=str(tmp_path / "fraw.mdeteng"))
+    assert cli.main(["flow", "--engine", flow_raw,
+                     "--frames", str(tmp_path)]) == 2  # no viz module
+
+
 def test_meta_describes_signature(tmp_path):
     pipe = _toy_pipeline()
     path = export_pipeline(pipe, (16, 16), path=str(tmp_path / "m.mdeteng"))

@@ -17,6 +17,14 @@ def test_put_roundtrip_small(rng):
     assert np.array_equal(np.asarray(d), a)
 
 
+def test_put_scalar_keeps_rank(rng):
+    """0-d arrays must stay 0-d: np.ascontiguousarray promotes them to
+    (1,), which broke exported modules with scalar param leaves."""
+    a = np.float32(0.5).reshape(())  # 0-d
+    d = device_put_chunked(np.asarray(a))
+    assert d.shape == () and float(d) == 0.5
+
+
 def test_put_roundtrip_chunked(rng):
     a = rng.standard_normal((64, 100, 100)).astype(np.float32)  # 2.5 MB
     d = device_put_chunked(a, max_bytes=200_000)
