@@ -678,11 +678,13 @@ def cmd_export(args) -> int:
     else:
         batches = [int(x) for x in args.batches.split(",") if x.strip()]
         with_viz = args.viz
+    views = [int(x) for x in args.views.split(",") if x.strip()]
     path = export_pipeline(
         pipe,
         (args.size, args.size),
         with_viz=with_viz,
         batches=batches,
+        views=views,
         path=args.out or None,
         platforms=platforms,
     )
@@ -704,18 +706,30 @@ def cmd_views(args) -> int:
 
     size = args.resize or 518
     imgs = [cv2.resize(_load_image(p), (size, size)) for p in args.images]
-    kw = (
-        {"precision": args.precision}
-        if getattr(args, "precision", "") else {}
-    )
-    ci = _calib_images_from(args)
-    if ci is not None:
-        kw["calib_images"] = ci
-    pipe = build_pipeline(args.model, **kw)
-    pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
-    if not hasattr(pipe, "multi_view"):
-        log(f"{args.model} has no multi-view protocol", tag="ERROR")
-        return 2
+    if getattr(args, "engine", ""):
+        from monocular_depth_estimation_trt_tpu.runtime.export import (
+            load_engine,
+        )
+
+        pipe = load_engine(args.engine)
+        log(f"views from artifact: {pipe.describe()}")
+    else:
+        if not args.model:
+            log("views: give a model name (or --engine artifact)",
+                tag="ERROR")
+            return 2
+        kw = (
+            {"precision": args.precision}
+            if getattr(args, "precision", "") else {}
+        )
+        ci = _calib_images_from(args)
+        if ci is not None:
+            kw["calib_images"] = ci
+        pipe = build_pipeline(args.model, **kw)
+        pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
+        if not hasattr(pipe, "multi_view"):
+            log(f"{args.model} has no multi-view protocol", tag="ERROR")
+            return 2
     out = pipe.multi_view(np.stack(imgs))
 
     os.makedirs(args.out, exist_ok=True)
@@ -1324,6 +1338,9 @@ def build_parser() -> argparse.ArgumentParser:
     views = sub.add_parser(
         "views", help="multi-view 3D reconstruction (S-view VGGT program)")
     views.add_argument("model", nargs="?", default="vggt")
+    views.add_argument("--engine", default="",
+                       help="serve from a serialized .mdeteng artifact "
+                       "(export with --views S)")
     views.add_argument("--images", nargs="+", required=True)
     views.add_argument("--out", default="results")
     views.add_argument("--resize", type=int, default=0,
@@ -1374,6 +1391,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="fuse the colormap epilogue into the artifact")
     exp.add_argument("--batches", default="1",
                      help="comma-separated batch sizes to export modules for")
+    exp.add_argument("--views", default="",
+                     help="comma-separated S values: add S-view joint "
+                     "modules (VGGT-family multi-view)")
     exp.add_argument("--serve-bundle", type=int, default=0, metavar="N",
                      help="export a serve-ready bundle: power-of-two batch "
                      "buckets up to N, both viz variants (weights stored "

@@ -102,6 +102,7 @@ def export_pipeline(
     *,
     with_viz=False,  # False | True | "both"
     batches: Sequence[int] = (1,),
+    views: Sequence[int] = (),
     path: Optional[str] = None,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
 ) -> str:
@@ -112,6 +113,8 @@ def export_pipeline(
     exports both (what HTTP serving needs — npz responses use the raw
     program, jpg responses the fused-colormap one). ``batches`` adds one
     module per batch size (powers of two for the dynamic-batching server).
+    ``views`` adds one S-view joint module per S (VGGT-family multi-view —
+    the S axis the reference's export pins to 1, ``VGGT/onnx_export.py:63``).
     Works for any pipeline exposing ``engine_for``/``batch_engine_for`` +
     ``params`` (depth families); the artifact takes the same uint8 inputs
     the fused programs take and returns the same output dicts.
@@ -125,6 +128,12 @@ def export_pipeline(
     if not batches or any(b < 1 for b in batches):
         raise ValueError(f"batches must be a non-empty list of sizes >= 1, "
                          f"got {batches!r}")
+    views = tuple(sorted(set(int(s) for s in views)))
+    if views and not hasattr(pipe, "views_engine"):
+        raise ValueError(
+            f"{getattr(pipe.spec, 'model', 'pipeline')} has no multi-view "
+            f"protocol (--views is VGGT-family only)"
+        )
 
     base_eng = pipe.engine_for(in_hw, False)
     name = base_eng.name
@@ -142,6 +151,33 @@ def export_pipeline(
     modules: Dict[str, Dict[str, Any]] = {}
     blobs: Dict[str, bytes] = {}
     output_names: list = []
+
+    def _export_module(eng, img_avals, key, meta_entry, take_names):
+        fn = eng._fn
+
+        def flat_fn(leaves_in, *imgs):
+            return fn(
+                jax.tree_util.tree_unflatten(treedef, leaves_in), *imgs
+            )
+
+        exp = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(
+            abstract_leaves, *img_avals
+        )
+        blobs[key] = exp.serialize()
+        meta_entry["outputs"] = [
+            {"shape": list(a.shape), "dtype": str(a.dtype)}
+            for a in exp.out_avals
+        ]
+        modules[key] = meta_entry
+        if take_names:
+            # free (no re-trace): the Exported already carries its output
+            # pytree; prefer the raw (non-viz) module's key set
+            out_struct = jax.tree_util.tree_unflatten(
+                exp.out_tree, list(exp.out_avals)
+            )
+            if isinstance(out_struct, dict):
+                output_names[:] = sorted(out_struct.keys())
+
     for batch in batches:
         for viz in viz_modes:
             if batch == 1:
@@ -153,34 +189,16 @@ def export_pipeline(
                     jax.ShapeDtypeStruct((batch, in_hw[0], in_hw[1], 3),
                                          np.uint8)
                 ]
-            fn = eng._fn
+            _export_module(eng, img_avals, _module_key(batch, viz),
+                           {"batch": batch, "viz": viz},
+                           take_names=not viz or not output_names)
 
-            def flat_fn(leaves_in, *imgs, _fn=fn):
-                return _fn(
-                    jax.tree_util.tree_unflatten(treedef, leaves_in), *imgs
-                )
-
-            exp = jexport.export(jax.jit(flat_fn), platforms=tuple(platforms))(
-                abstract_leaves, *img_avals
-            )
-            key = _module_key(batch, viz)
-            blobs[key] = exp.serialize()
-            modules[key] = {
-                "batch": batch,
-                "viz": viz,
-                "outputs": [
-                    {"shape": list(a.shape), "dtype": str(a.dtype)}
-                    for a in exp.out_avals
-                ],
-            }
-            if not viz or not output_names:
-                # free (no re-trace): the Exported already carries its
-                # output pytree; prefer the raw module's key set
-                out_struct = jax.tree_util.tree_unflatten(
-                    exp.out_tree, list(exp.out_avals)
-                )
-                if isinstance(out_struct, dict):
-                    output_names = sorted(out_struct.keys())
+    for s in views:
+        eng = pipe.views_engine(s)
+        img_avals = [_abstract(a) for a in eng._example_args[1:]]
+        _export_module(eng, img_avals, f"views_s{s}",
+                       {"batch": 1, "viz": False, "views": s},
+                       take_names=False)
 
     entry = {
         "format": "MDETENG",
@@ -291,6 +309,7 @@ class LoadedEngine:
                 m["batch"]
                 for m in self.meta["modules"].values()
                 if m["viz"] == want_viz and m["batch"] >= batch
+                and not m.get("views")
             )
             if buckets:
                 return self._fns[_module_key(buckets[0], want_viz)], buckets[0]
@@ -359,6 +378,25 @@ class LoadedEngine:
             return out
         return jax.tree_util.tree_map(np.asarray, out)
 
+
+    def multi_view(self, views_u8):
+        """S-view joint inference from a views module (`mdet views
+        --engine`): (S, H, W, 3) uint8 -> host dict (depth (S, h, w),
+        depth_conf, pose_enc). Same contract as VGGTPipeline.multi_view."""
+        views_u8 = np.asarray(views_u8)
+        s = views_u8.shape[0]
+        key = f"views_s{s}"
+        if key not in self._fns:
+            avail = sorted(m["views"]
+                           for m in self.meta["modules"].values()
+                           if m.get("views"))
+            raise ValueError(
+                f"{self.path}: no views module for S={s} "
+                f"(available: {avail}); re-export with --views"
+            )
+        views = np.stack([self.fit(v) for v in views_u8])
+        out = self._fns[key](self._leaves, views)
+        return jax.tree_util.tree_map(np.asarray, out)
 
     # -- offline batched serving (apps/offline.py contract) -----------------
     @property

@@ -398,6 +398,98 @@ def test_cli_flow_from_artifact(tmp_path):
     assert os.path.exists(out_dir / "toy_flow_flow.mp4")
 
 
+def _toy_views_pipeline():
+    """VGGT-shaped toy: a views_engine producing (depth, depth_conf,
+    pose_enc) for an (S, H, W, 3) joint program."""
+    from monocular_depth_estimation_trt_tpu.runtime.engine import Engine
+
+    class ToyViews(DepthPipeline):
+        def views_engine(self, s, src_hw=None):
+            src = tuple(src_hw or (16, 16))
+            key = ("views", s, src)
+            if key not in self._engines:
+                def run(p, views_u8):
+                    x = views_u8.astype(jnp.float32) / 255.0
+                    depth = x.mean(-1) * p["g"]
+                    pose = jnp.tile(
+                        jnp.array([0, 0, 0, 0, 0, 0, 1, 0.8, 0.8],
+                                  jnp.float32), (views_u8.shape[0], 1))
+                    return {"depth": depth,
+                            "depth_conf": jnp.ones_like(depth) * 2.0,
+                            "pose_enc": pose}
+
+                self._engines[key] = Engine(
+                    run,
+                    (self.params,
+                     jnp.zeros((s, *src, 3), jnp.uint8)),
+                    name=f"toy_views_s{s}",
+                )
+            return self._engines[key]
+
+        def multi_view(self, views_u8):
+            eng = self.views_engine(views_u8.shape[0],
+                                    views_u8.shape[1:3])
+            out = eng(self.params, jnp.asarray(views_u8))
+            return {k: np.asarray(v) for k, v in out.items()}
+
+    spec = ModelSpec(model="toy_views", input_hw=(16, 16))
+
+    def forward(params, img_u8, out_hw):
+        return {"depth": img_u8.astype(jnp.float32).mean(-1) * params["g"]}
+
+    return ToyViews(spec, forward, {"g": jnp.asarray(2.0, jnp.float32)},
+                    viz="none")
+
+
+def test_views_module_exports_and_roundtrips(tmp_path):
+    """--views S adds an S-view joint module; LoadedEngine.multi_view
+    matches the live pipeline and names the available S on a miss. Views
+    modules never leak into single-image bucket selection."""
+    pipe = _toy_views_pipeline()
+    path = export_pipeline(pipe, (16, 16), views=(2,),
+                           path=str(tmp_path / "mv.mdeteng"))
+    eng = load_engine(path)
+    assert "views_s2" in read_meta(path)["modules"]
+    views = np.stack([_img(seed=s) for s in range(2)])
+    got = eng.multi_view(views)
+    want = pipe.multi_view(views)
+    np.testing.assert_allclose(got["depth"], want["depth"], rtol=1e-6)
+    np.testing.assert_allclose(got["pose_enc"], want["pose_enc"])
+    with pytest.raises(ValueError, match=r"available: \[2\]"):
+        eng.multi_view(np.stack([_img()] * 3))
+    # single-image call routes to the b1 module, not views_s2
+    single = eng(_img())
+    assert single["depth"].shape == (16, 16)
+
+
+def test_views_rejected_for_non_multiview_pipeline(tmp_path):
+    with pytest.raises(ValueError, match="multi-view"):
+        export_pipeline(_toy_pipeline(), (16, 16), views=(2,),
+                        path=str(tmp_path / "x.mdeteng"))
+
+
+def test_cli_views_from_artifact(tmp_path):
+    """`mdet views --engine`: S-view depth npz + merged world cloud from
+    the artifact."""
+    import cv2
+
+    pipe = _toy_views_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), views=(2,),
+                               path=str(tmp_path / "mvc.mdeteng"))
+    img_paths = []
+    for s in range(2):
+        p = str(tmp_path / f"v{s}.png")
+        cv2.imwrite(p, _img(seed=s))
+        img_paths.append(p)
+    out_dir = tmp_path / "vout"
+    rc = cli.main(["views", "--engine", eng_path, "--resize", "16",
+                   "--images", *img_paths, "--out", str(out_dir)])
+    assert rc == 0
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_s2.npz") for f in files)
+    assert any(f.endswith("_s2.ply") for f in files)
+
+
 def test_http_server_from_artifact(tmp_path, monkeypatch):
     """`mdet serve --engine`: DepthServer drives the LoadedEngine through
     the same pipeline calling convention (single + dynamic batch)."""
