@@ -271,6 +271,13 @@ class LoadedEngine:
                 exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
                 self._fns[key] = jax.jit(exp.call)
         self.path = path
+        made_with = self.meta.get("jax_version", "?")
+        if made_with != jax.__version__:
+            log(f"{os.path.basename(path)}: exported with jax "
+                f"{made_with}, running {jax.__version__} — jax.export "
+                f"serialization is forward-compatible within its support "
+                f"window, but re-export if you see lowering errors",
+                tag="WARN")
         hw = self.meta["in_hw"]
         self.spec = ModelSpec(
             model=self.meta.get("model") or "engine",
