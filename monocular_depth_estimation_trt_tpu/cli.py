@@ -109,6 +109,38 @@ def _calib_images_from(args):
     return [_load_image(p) for p in paths]
 
 
+def _load_artifact(path, *, surface, need_viz=False, need_images=(1,),
+                   need_views=None):
+    """Validate an .mdeteng against a surface's needs from meta ALONE
+    (read_meta is a zip-header read), then load — so a wrong artifact is
+    rejected before the weight device-put and module deserialization.
+    Returns None after logging when the artifact cannot serve the surface."""
+    from monocular_depth_estimation_trt_tpu.runtime.export import (
+        load_engine,
+        read_meta,
+    )
+
+    meta = read_meta(path)
+    n = int(meta.get("n_image_args", 1))
+    if n not in need_images:
+        log(f"{surface} needs a {'/'.join(map(str, need_images))}-image "
+            f"artifact; {path} takes {n} image(s) per call", tag="ERROR")
+        return None
+    if need_viz and not any(m["viz"] for m in meta["modules"].values()):
+        log(f"{surface} needs a viz module; re-export with --viz or "
+            "--serve-bundle", tag="ERROR")
+        return None
+    if need_views is not None:
+        avail = sorted(m["views"] for m in meta["modules"].values()
+                       if m.get("views"))
+        if need_views not in avail:
+            log(f"{surface}: no views module for S={need_views} "
+                f"(available: {avail}); re-export with --views",
+                tag="ERROR")
+            return None
+    return load_engine(path)
+
+
 def cmd_run(args) -> int:
     import cv2
 
@@ -368,13 +400,28 @@ def cmd_bench(args) -> int:
     if getattr(args, "engine", ""):
         from monocular_depth_estimation_trt_tpu.runtime.export import (
             load_engine,
+            read_meta,
         )
 
+        meta = read_meta(args.engine)
+        if getattr(args, "device_mesh", "") or getattr(args, "precision", ""):
+            log("bench --engine: --device-mesh/--precision are baked into "
+                "the artifact at export time; flags ignored at load",
+                tag="ERROR")
+            return 2
+        if args.size and (args.size, args.size) != tuple(meta["in_hw"]):
+            log(f"bench --engine: artifact is fixed at "
+                f"{tuple(meta['in_hw'])}; --size {args.size} cannot apply "
+                "(re-export at that size)", tag="ERROR")
+            return 2
         eng = load_engine(args.engine)
         log(f"benchmarking artifact: {eng.describe()}")
         cfg = BenchmarkConfig(warmup=args.warmup,
                               iterations=args.iterations)
-        eng.benchmark(config=cfg).print()
+        if getattr(args, "views", 0) and args.views > 1:
+            eng.benchmark_views(args.views, cfg).print()
+        else:
+            eng.benchmark(config=cfg).print()
         return 0
 
     if not args.model:
@@ -393,7 +440,8 @@ def cmd_bench(args) -> int:
             return 2
         report = pipe.benchmark_views(args.views, cfg)
     else:
-        report = pipe.benchmark((args.size, args.size), cfg)
+        size = args.size or 518
+        report = pipe.benchmark((size, size), cfg)
     report.print()
     return 0
 
@@ -410,21 +458,13 @@ def cmd_flow(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     if getattr(args, "engine", ""):
-        from monocular_depth_estimation_trt_tpu.runtime.export import (
-            load_engine,
-        )
-
-        pipe = load_engine(args.engine)
-        n_imgs = int(pipe.meta.get("n_image_args", 1))
-        if n_imgs not in (2, 3):
-            log(f"flow needs a 2- or 3-frame artifact; {args.engine} takes "
-                f"{n_imgs} image(s) per call", tag="ERROR")
-            return 2
-        if not any(m["viz"] for m in pipe.meta["modules"].values()):
-            log("flow needs a viz module; re-export with --viz", tag="ERROR")
+        pipe = _load_artifact(args.engine, surface="flow",
+                              need_viz=True, need_images=(2, 3))
+        if pipe is None:
             return 2
         log(f"flow from artifact: {pipe.describe()}")
         model_name = pipe.spec.model
+        n_imgs = int(pipe.meta.get("n_image_args", 1))
     else:
         if not args.model:
             log("flow: give a model name (or --engine artifact)",
@@ -462,14 +502,8 @@ def cmd_video(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     if getattr(args, "engine", ""):
-        from monocular_depth_estimation_trt_tpu.runtime.export import (
-            load_engine,
-        )
-
-        pipe = load_engine(args.engine)
-        if not any(m["viz"] for m in pipe.meta["modules"].values()):
-            log("video needs a viz module; re-export with --viz or "
-                "--serve-bundle", tag="ERROR")
+        pipe = _load_artifact(args.engine, surface="video", need_viz=True)
+        if pipe is None:
             return 2
         log(f"video from artifact: {pipe.describe()}")
     else:
@@ -590,14 +624,8 @@ def cmd_webcam(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     if getattr(args, "engine", ""):
-        from monocular_depth_estimation_trt_tpu.runtime.export import (
-            load_engine,
-        )
-
-        pipe = load_engine(args.engine)
-        if not any(m["viz"] for m in pipe.meta["modules"].values()):
-            log("webcam needs a viz module; re-export with --viz or "
-                "--serve-bundle", tag="ERROR")
+        pipe = _load_artifact(args.engine, surface="webcam", need_viz=True)
+        if pipe is None:
             return 2
         log(f"webcam from artifact: {pipe.describe()}")
     else:
@@ -707,11 +735,10 @@ def cmd_views(args) -> int:
     size = args.resize or 518
     imgs = [cv2.resize(_load_image(p), (size, size)) for p in args.images]
     if getattr(args, "engine", ""):
-        from monocular_depth_estimation_trt_tpu.runtime.export import (
-            load_engine,
-        )
-
-        pipe = load_engine(args.engine)
+        pipe = _load_artifact(args.engine, surface="views",
+                              need_views=len(imgs))
+        if pipe is None:
+            return 2
         log(f"views from artifact: {pipe.describe()}")
     else:
         if not args.model:
@@ -1286,7 +1313,9 @@ def build_parser() -> argparse.ArgumentParser:
                        "(same pipelined-dispatch protocol)")
     bench.add_argument("--encoder", default="")
     _add_precision_args(bench)
-    bench.add_argument("--size", type=int, default=518)
+    bench.add_argument("--size", type=int, default=0,
+                       help="square input size (default 518; --engine "
+                       "artifacts are fixed at their exported size)")
     bench.add_argument("--warmup", type=int, default=10)
     bench.add_argument("--iterations", type=int, default=100)
     bench.add_argument("--views", type=int, default=0,

@@ -194,7 +194,9 @@ def export_pipeline(
                            take_names=not viz or not output_names)
 
     for s in views:
-        eng = pipe.views_engine(s)
+        # at the REQUESTED size (views_engine's default src is the
+        # pipeline-native input_size, which need not equal in_hw)
+        eng = pipe.views_engine(s, in_hw)
         img_avals = [_abstract(a) for a in eng._example_args[1:]]
         _export_module(eng, img_avals, f"views_s{s}",
                        {"batch": 1, "viz": False, "views": s},
@@ -259,6 +261,15 @@ class LoadedEngine:
             self.meta = json.loads(z.read(_META_NAME))
             if self.meta.get("format") != "MDETENG":
                 raise ValueError(f"{path}: not an MDETENG artifact")
+            # warn BEFORE deserializing: the failure mode version skew
+            # causes is a deserialize error, and the hint must precede it
+            made_with = self.meta.get("jax_version", "?")
+            if made_with != jax.__version__:
+                log(f"{os.path.basename(path)}: exported with jax "
+                    f"{made_with}, running {jax.__version__} — jax.export "
+                    f"serialization is forward-compatible within its "
+                    f"support window, but re-export if loading fails",
+                    tag="WARN")
             # device-resident once: numpy leaves would be re-transferred
             # host->device on EVERY call (the reference's analogue loads
             # engine weights to the GPU once at deserialize time)
@@ -271,13 +282,6 @@ class LoadedEngine:
                 exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
                 self._fns[key] = jax.jit(exp.call)
         self.path = path
-        made_with = self.meta.get("jax_version", "?")
-        if made_with != jax.__version__:
-            log(f"{os.path.basename(path)}: exported with jax "
-                f"{made_with}, running {jax.__version__} — jax.export "
-                f"serialization is forward-compatible within its support "
-                f"window, but re-export if you see lowering errors",
-                tag="WARN")
         hw = self.meta["in_hw"]
         self.spec = ModelSpec(
             model=self.meta.get("model") or "engine",
@@ -404,6 +408,33 @@ class LoadedEngine:
         views = np.stack([self.fit(v) for v in views_u8])
         out = self._fns[key](self._leaves, views)
         return jax.tree_util.tree_map(np.asarray, out)
+
+    def benchmark_views(self, s: int, config=None):
+        """Per-frame throughput of the exported S-view joint module
+        (`mdet bench --engine --views S`), matching VGGTPipeline's
+        convention (frames_per_iteration = S)."""
+        from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+            benchmark as _bench,
+        )
+
+        key = f"views_s{int(s)}"
+        if key not in self._fns:
+            avail = sorted(m["views"]
+                           for m in self.meta["modules"].values()
+                           if m.get("views"))
+            raise ValueError(
+                f"{self.path}: no views module for S={s} "
+                f"(available: {avail}); re-export with --views"
+            )
+        hw = tuple(self.meta["in_hw"])
+        rng = np.random.default_rng(0)
+        views = jax.device_put(rng.integers(
+            0, 255, (int(s), *hw, 3), dtype=np.uint8))
+        fn = self._fns[key]
+        rep = _bench(lambda v: fn(self._leaves, v), (views,), config=config,
+                     name=f"{self.meta.get('artifact', 'engine')}_s{s}")
+        rep.frames_per_iteration = int(s)
+        return rep
 
     # -- offline batched serving (apps/offline.py contract) -----------------
     @property

@@ -71,7 +71,7 @@ def device_put_chunked(
         # before ascontiguousarray: it promotes 0-d arrays to shape (1,)
         return jax.device_put(arr, device)
     arr = np.ascontiguousarray(arr)
-    if arr.nbytes <= max_bytes or arr.ndim == 0 or arr.shape[0] <= 1:
+    if arr.nbytes <= max_bytes or arr.shape[0] <= 1:
         return jax.device_put(arr, device)
     row_bytes = arr.nbytes // arr.shape[0]
     rows_per_chunk = max(int(max_bytes // max(row_bytes, 1)), 1)

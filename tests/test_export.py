@@ -462,6 +462,65 @@ def test_views_module_exports_and_roundtrips(tmp_path):
     assert single["depth"].shape == (16, 16)
 
 
+def test_views_export_honors_requested_size(tmp_path):
+    """views modules are exported at the requested in_hw, not the
+    pipeline's native default (regression: --size != native size produced
+    an artifact whose views path could never run)."""
+    pipe = _toy_views_pipeline()  # native default src is (16, 16)
+    path = export_pipeline(pipe, (8, 8), views=(2,),
+                           path=str(tmp_path / "mv8.mdeteng"))
+    eng = load_engine(path)
+    mod = read_meta(path)["modules"]["views_s2"]
+    assert mod["outputs"][0]["shape"][:3] == [2, 8, 8]
+    out = eng.multi_view(np.stack([_img((8, 8, 3), seed=s)
+                                   for s in range(2)]))
+    assert out["depth"].shape == (2, 8, 8)
+
+
+def test_benchmark_views_on_artifact(tmp_path):
+    from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+
+    pipe = _toy_views_pipeline()
+    path = export_pipeline(pipe, (16, 16), views=(2,),
+                           path=str(tmp_path / "mvb.mdeteng"))
+    eng = load_engine(path)
+    rep = eng.benchmark_views(2, BenchmarkConfig(warmup=1, iterations=2))
+    assert rep.frames_per_iteration == 2
+    with pytest.raises(ValueError, match="re-export with --views"):
+        eng.benchmark_views(4)
+    rc = cli.main(["bench", "--engine", path, "--views", "2",
+                   "--warmup", "1", "--iterations", "2"])
+    assert rc == 0
+
+
+def test_cli_bench_engine_rejects_baked_flags(tmp_path):
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), path=str(tmp_path / "bf2.mdeteng"))
+    assert cli.main(["bench", "--engine", path, "--precision", "int8"]) == 2
+    assert cli.main(["bench", "--engine", path,
+                     "--device-mesh", "2x4"]) == 2
+    assert cli.main(["bench", "--engine", path, "--size", "32"]) == 2
+    # matching --size is fine
+    assert cli.main(["bench", "--engine", path, "--size", "16",
+                     "--warmup", "1", "--iterations", "2"]) == 0
+
+
+def test_cli_views_wrong_s_is_clean_error(tmp_path):
+    import cv2
+
+    pipe = _toy_views_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), views=(2,),
+                               path=str(tmp_path / "mvw.mdeteng"))
+    paths = []
+    for s in range(3):  # 3 images, only S=2 exported
+        p = str(tmp_path / f"w{s}.png")
+        cv2.imwrite(p, _img(seed=s))
+        paths.append(p)
+    rc = cli.main(["views", "--engine", eng_path, "--resize", "16",
+                   "--images", *paths, "--out", str(tmp_path / "o")])
+    assert rc == 2
+
+
 def test_views_rejected_for_non_multiview_pipeline(tmp_path):
     with pytest.raises(ValueError, match="multi-view"):
         export_pipeline(_toy_pipeline(), (16, 16), views=(2,),
