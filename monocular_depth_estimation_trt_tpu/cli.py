@@ -1191,6 +1191,55 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnostic: what backend/caches/native pieces this
+    install will actually use. The reference's equivalent is scattered
+    prints (`trt.__version__`, device queries); here it is one command —
+    and on a flaky remote-TPU link the `--no-devices` mode answers
+    everything that does not require touching the device."""
+    import jax
+
+    from monocular_depth_estimation_trt_tpu.config import cache_dir
+    from monocular_depth_estimation_trt_tpu.runtime import native
+    from monocular_depth_estimation_trt_tpu.runtime.engine import (
+        EngineRegistry,
+    )
+    from monocular_depth_estimation_trt_tpu.runtime.export import (
+        exported_dir,
+    )
+
+    print(f"jax                : {jax.__version__}")
+    cc = os.environ.get("JAX_COMPILATION_CACHE_DIR", "") or (
+        "(UNSET — first compiles will not persist; "
+        "export JAX_COMPILATION_CACHE_DIR)")
+    print(f"compilation cache  : {cc}")
+    root = cache_dir()
+    print(f"mdet cache dir     : {root}")
+    reg = EngineRegistry()
+    print(f"built engines      : {len(reg.list())} registry entries")
+    arts = [f for f in os.listdir(exported_dir()) if f.endswith(".mdeteng")]
+    print(f"exported artifacts : {len(arts)}")
+    import glob
+
+    orbax = glob.glob(os.path.join(root, "params", "*"))
+    print(f"cached weights     : {len(orbax)} artifact trees")
+    nat = ("available" if native.native_available()
+           else "not built (python decode fallback)")
+    print(f"native host-IO     : {nat}")
+    if getattr(args, "no_devices", False):
+        print("devices            : skipped (--no-devices)")
+        return 0
+    # Device enumeration can HANG on a broken tunnel — do it LAST so
+    # everything above always prints.
+    print("devices            : querying (can hang if the accelerator "
+          "link is down; ctrl-c or use --no-devices) ...")
+    devs = jax.devices()
+    print(f"devices            : {len(devs)} x {devs[0].platform} "
+          f"(backend {jax.default_backend()}, "
+          f"device_kind {getattr(devs[0], 'device_kind', '?')})")
+    return 0
+
+
 def cmd_models(_args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import (
         INT8_FAMILIES,
@@ -1551,6 +1600,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("models", help="list registered models").set_defaults(fn=cmd_models)
     sub.add_parser("engines", help="list built engines").set_defaults(fn=cmd_engines)
+    doc = sub.add_parser(
+        "doctor", help="environment diagnostic (backend/caches/native)")
+    doc.add_argument("--no-devices", action="store_true", dest="no_devices",
+                     help="skip device enumeration (it hangs when the "
+                     "accelerator link is down)")
+    doc.set_defaults(fn=cmd_doctor)
     for sp in (run, flow, video, webcam, track, pair, batch, views, slam,
                serve, dist, qc):
         # SUPPRESS: don't let the subparser's default clobber the

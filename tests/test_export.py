@@ -226,6 +226,10 @@ def test_cli_run_without_model_or_engine_errors():
     assert cli.main(["run"]) == 2
 
 
+def test_cli_doctor_no_devices():
+    assert cli.main(["doctor", "--no-devices"]) == 0
+
+
 def test_benchmark_on_artifact(tmp_path):
     """LoadedEngine.benchmark reuses the pipeline protocol; `mdet bench
     --engine` runs it end-to-end. (No stdout assertion: the [MDET] logger
