@@ -74,11 +74,14 @@ def _dtype_from_name(name: str) -> np.dtype:
 
 def _write_leaves(z: zipfile.ZipFile, leaves) -> list:
     """Store the param snapshot as raw bytes + a manifest (np.savez cannot
-    serialize ml_dtypes like bfloat16 without pickling)."""
+    serialize ml_dtypes like bfloat16 without pickling). Weights go in
+    UNCOMPRESSED: bf16/int8 tensors barely deflate, and at VGGT scale
+    (~2 GB) compression would dominate both export and load time."""
     manifest = []
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        z.writestr(f"params/{i}.bin", arr.tobytes())
+        z.writestr(f"params/{i}.bin", arr.tobytes(),
+                   compress_type=zipfile.ZIP_STORED)
         manifest.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
     return manifest
 
