@@ -280,10 +280,27 @@ class LoadedEngine:
                 device_put_chunked(leaf)
                 for leaf in _read_leaves(z, self.meta["param_manifest"])
             ]
+            def _guard(fn):
+                # a platform-name mismatch (e.g. a PJRT plugin reporting a
+                # name outside the exported set) surfaces as a deep
+                # ValueError; append the actionable fix
+                def call(*a, **k):
+                    try:
+                        return fn(*a, **k)
+                    except ValueError as e:
+                        if "platform" in str(e).lower():
+                            raise ValueError(
+                                f"{e} — {path} was exported for "
+                                f"{self.meta.get('platforms')}; re-export "
+                                f"with --platforms including this backend"
+                            ) from e
+                        raise
+                return call
+
             self._fns: Dict[str, Callable] = {}
             for key in self.meta["modules"]:
                 exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
-                self._fns[key] = jax.jit(exp.call)
+                self._fns[key] = _guard(jax.jit(exp.call))
         self.path = path
         hw = self.meta["in_hw"]
         self.spec = ModelSpec(
