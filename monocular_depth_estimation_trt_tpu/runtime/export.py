@@ -33,7 +33,6 @@ the batch buckets + viz variants dynamic-batching HTTP serving needs);
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import time
