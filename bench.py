@@ -62,9 +62,60 @@ def _recorded_fps(model_tag: str):
     return None
 
 
+def _emit_error_and_exit(encoder: str, msg: str) -> None:
+    """Driver contract is ONE JSON line — honor it even when the
+    accelerator link is dead, instead of hanging the harness forever."""
+    print(json.dumps({
+        "metric": f"depth_anything_v2_{encoder}_518x518_fps",
+        "value": None,
+        "unit": "fps",
+        "vs_baseline": None,
+        "error": msg,
+    }), flush=True)
+    os._exit(3)
+
+
+def _guard_against_hangs(encoder: str) -> None:
+    """The axon tunnel can be fully down (device enumeration itself hangs,
+    CLAUDE.md). Probe it in a side thread with a bound, and arm a global
+    watchdog for hangs that start mid-run (first compiles legitimately take
+    minutes — the budget is generous)."""
+    import threading
+    import time
+
+    probe_s = float(os.environ.get("MDET_BENCH_PROBE_TIMEOUT_S", "300"))
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(probe_s):
+        _emit_error_and_exit(
+            encoder,
+            f"device enumeration timed out after {probe_s:.0f}s "
+            "(accelerator link down)",
+        )
+
+    total_s = float(os.environ.get("MDET_BENCH_TIMEOUT_S", "3600"))
+    start = time.monotonic()
+
+    def watchdog():
+        time.sleep(max(total_s - (time.monotonic() - start), 1))
+        _emit_error_and_exit(
+            encoder, f"benchmark exceeded {total_s:.0f}s (link hang?)"
+        )
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
 def main() -> None:
     encoder = os.environ.get("MDET_BENCH_ENCODER", "vits")
     iters = int(os.environ.get("MDET_BENCH_ITERS", "100"))
+    _guard_against_hangs(encoder)
 
     from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
