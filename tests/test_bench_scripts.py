@@ -1,0 +1,76 @@
+"""scripts/merge_bench.py + scripts/gen_readme_table.py — these run right
+after a hardware measurement window; a bug here throws away real TPU
+numbers, so the merge semantics are pinned."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load(name):
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(root, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_merge_replaces_appends_and_protects_good_rows(tmp_path):
+    full = {"timestamp": 1.0, "results": [
+        {"model": "a", "fps": 100.0},
+        {"model": "b", "fps": 50.0},
+    ]}
+    partial = {"results": [
+        {"model": "a", "fps": 120.0},            # replace
+        {"model": "c", "fps": 10.0},             # append
+        {"model": "b", "error": "worker crash"},  # must NOT clobber b
+    ]}
+    fp, pp = tmp_path / "all.json", tmp_path / "part.json"
+    fp.write_text(json.dumps(full))
+    pp.write_text(json.dumps(partial))
+
+    mb = _load("merge_bench")
+    assert mb.merge(str(pp), str(fp)) == 0
+    out = json.loads(fp.read_text())
+    rows = {r["model"]: r for r in out["results"]}
+    assert rows["a"]["fps"] == 120.0
+    assert rows["b"]["fps"] == 50.0 and "error" not in rows["b"]
+    assert rows["c"]["fps"] == 10.0
+    assert out["timestamp"] > 1.0
+
+
+def test_merge_error_row_lands_when_no_prior_good_row(tmp_path):
+    fp, pp = tmp_path / "all.json", tmp_path / "part.json"
+    fp.write_text(json.dumps({"timestamp": 0, "results": []}))
+    pp.write_text(json.dumps({"results": [{"model": "x", "error": "boom"}]}))
+    _load("merge_bench").merge(str(pp), str(fp))
+    out = json.loads(fp.read_text())
+    assert out["results"][0]["error"] == "boom"
+
+
+def test_gen_readme_table_rewrites_between_markers(tmp_path, monkeypatch):
+    gt = _load("gen_readme_table")
+    bench = {"results": [
+        {"model": "raft", "fps": 84.8, "baseline_trt_fps": 21.96,
+         "speedup_vs_trt": 3.86, "fidelity": "converter-verified"},
+        {"model": "depth_anything_v2_vitl_int8", "fps": 100.0,
+         "speedup_vs_bf16": 1.5, "bf16_fps": 66.7,
+         "fidelity": "converter-verified"},
+        {"model": "neuflow", "error": "kernel fault"},
+    ]}
+    bp = tmp_path / "bench.json"
+    bp.write_text(json.dumps(bench))
+    rp = tmp_path / "README.md"
+    rp.write_text("head\n<!-- BENCH_TABLE_START -->\nOLD\n"
+                  "<!-- BENCH_TABLE_END -->\ntail\n")
+    monkeypatch.setattr(sys, "argv",
+                        ["gen_readme_table.py", str(bp), str(rp)])
+    assert gt.main() == 0
+    text = rp.read_text()
+    assert "OLD" not in text
+    assert "| `raft` |" in text and "3.9×" in text
+    assert "1.50× vs bf16" in text
+    assert "`neuflow` is missing from this run" in text
+    assert text.startswith("head\n") and text.endswith("tail\n")
