@@ -713,6 +713,7 @@ def cmd_export(args) -> int:
         with_viz=with_viz,
         batches=batches,
         views=views,
+        stream_window=args.stream_window,
         path=args.out or None,
         platforms=platforms,
     )
@@ -1472,6 +1473,11 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--views", default="",
                      help="comma-separated S values: add S-view joint "
                      "modules (VGGT-family multi-view)")
+    exp.add_argument("--stream-window", type=int, default=0,
+                     dest="stream_window", metavar="W",
+                     help="add a causal KV-cache streaming step module "
+                     "with a W-view window (streamvggt) — `mdet video "
+                     "--engine` then serves O(1)-per-frame causal depth")
     exp.add_argument("--serve-bundle", type=int, default=0, metavar="N",
                      help="export a serve-ready bundle: power-of-two batch "
                      "buckets up to N, both viz variants (weights stored "

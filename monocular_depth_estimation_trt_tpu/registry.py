@@ -1035,35 +1035,36 @@ def _build_vggt(
         re-forward, the streaming semantics the reference could not export
         (``StreamVGGT/onnx_export.py:25-55``)."""
 
-        def stream(self, window: int = 4):
-            import jax
-
+        def _stream_session(self, window: int):
             from monocular_depth_estimation_trt_tpu.apps.streaming import (
                 VGGTStreamingSession,
             )
 
-            sess = VGGTStreamingSession(
+            return VGGTStreamingSession(
                 self.params, cfg=cfg, window=window, input_size=input_size,
                 dtype=model.dtype, attn_impl=attn_impl,
             )
-            pipe = self
 
-            def viz_depth(depth, out_hw):
-                # crop the pad-to-square border (as forward does), resample
-                # to the source frame, colormap in-graph
-                h0, w0 = out_hw
-                side = max(h0, w0)
-                top = int(round((side - h0) / 2 / side * input_size))
-                left = int(round((side - w0) / 2 / side * input_size))
-                hh = max(int(round(h0 / side * input_size)), 1)
-                ww = max(int(round(w0 / side * input_size)), 1)
-                d = upsample_depth(
-                    depth[None, top:top + hh, left:left + ww], out_hw,
-                    clamp=(1e-3, 1e3),
-                )[0]
-                return pipe._with_viz_epilogue({"depth": d}, True)
+        def _stream_viz(self, depth, out_hw):
+            # crop the pad-to-square border (as forward does), resample
+            # to the source frame, colormap in-graph
+            h0, w0 = out_hw
+            side = max(h0, w0)
+            top = int(round((side - h0) / 2 / side * input_size))
+            left = int(round((side - w0) / 2 / side * input_size))
+            hh = max(int(round(h0 / side * input_size)), 1)
+            ww = max(int(round(w0 / side * input_size)), 1)
+            d = upsample_depth(
+                depth[None, top:top + hh, left:left + ww], out_hw,
+                clamp=(1e-3, 1e3),
+            )[0]
+            return self._with_viz_epilogue({"depth": d}, True)
 
-            viz_jit = jax.jit(viz_depth, static_argnums=1)
+        def stream(self, window: int = 4):
+            import jax
+
+            sess = self._stream_session(window)
+            viz_jit = jax.jit(self._stream_viz, static_argnums=1)
 
             def runner(rgb, viz=False):
                 out = sess.step(rgb)
@@ -1073,6 +1074,29 @@ def _build_vggt(
                 return {k: _np.asarray(v) for k, v in res.items()}
 
             return runner
+
+        def stream_export_bundle(self, window: int = 4,
+                                 frame_hw=(518, 518)):
+            """(step_fn(params, frame_u8, cache) -> (outputs-with-viz,
+            new_cache), initial_cache) — the causal KV-cache step as ONE
+            pure function, for ``runtime/export.py``'s stream modules.
+            The serializable streaming the reference could not export
+            (``StreamVGGT/onnx_export.py:25-55``)."""
+            sess = self._stream_session(window)
+            frame_hw = tuple(int(x) for x in frame_hw)
+
+            def step(p, frame_u8, cache):
+                from monocular_depth_estimation_trt_tpu.ops.preprocess import (
+                    preprocess_pad_square,
+                )
+
+                x = preprocess_pad_square(frame_u8, input_size)
+                out, c2 = sess._jit(p, x, cache)
+                res = self._stream_viz(out["depth"][0], frame_hw)
+                res["depth_conf"] = out["depth_conf"][0]
+                return res, c2
+
+            return step, sess._cache
 
     if model_name == "streamvggt":
         return StreamVGGTPipeline(spec, forward, params, viz="metric")

@@ -71,25 +71,25 @@ def _dtype_from_name(name: str) -> np.dtype:
         return np.dtype(getattr(ml_dtypes, name))
 
 
-def _write_leaves(z: zipfile.ZipFile, leaves) -> list:
-    """Store the param snapshot as raw bytes + a manifest (np.savez cannot
-    serialize ml_dtypes like bfloat16 without pickling). Weights go in
-    UNCOMPRESSED: bf16/int8 tensors barely deflate, and at VGGT scale
-    (~2 GB) compression would dominate both export and load time."""
+def _write_leaves(z: zipfile.ZipFile, leaves, prefix: str = "params") -> list:
+    """Store a leaf-list snapshot as raw bytes + a manifest (np.savez cannot
+    serialize ml_dtypes like bfloat16 without pickling). Tensors go in
+    UNCOMPRESSED: bf16/int8 barely deflates, and at VGGT scale (~2 GB)
+    compression would dominate both export and load time."""
     manifest = []
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        z.writestr(f"params/{i}.bin", arr.tobytes(),
+        z.writestr(f"{prefix}/{i}.bin", arr.tobytes(),
                    compress_type=zipfile.ZIP_STORED)
         manifest.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
     return manifest
 
 
-def _read_leaves(z: zipfile.ZipFile, manifest) -> list:
+def _read_leaves(z: zipfile.ZipFile, manifest, prefix: str = "params") -> list:
     leaves = []
     for i, m in enumerate(manifest):
         dt = _dtype_from_name(m["dtype"])
-        buf = z.read(f"params/{i}.bin")
+        buf = z.read(f"{prefix}/{i}.bin")
         leaves.append(np.frombuffer(buf, dtype=dt).reshape(m["shape"]))
     return leaves
 
@@ -105,6 +105,7 @@ def export_pipeline(
     with_viz=False,  # False | True | "both"
     batches: Sequence[int] = (1,),
     views: Sequence[int] = (),
+    stream_window: int = 0,
     path: Optional[str] = None,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
 ) -> str:
@@ -135,6 +136,11 @@ def export_pipeline(
         raise ValueError(
             f"{getattr(pipe.spec, 'model', 'pipeline')} has no multi-view "
             f"protocol (--views is VGGT-family only)"
+        )
+    if stream_window and not hasattr(pipe, "stream_export_bundle"):
+        raise ValueError(
+            f"{getattr(pipe.spec, 'model', 'pipeline')} has no serializable "
+            f"streaming step (--stream-window is streamvggt-style only)"
         )
 
     base_eng = pipe.engine_for(in_hw, False)
@@ -204,6 +210,33 @@ def export_pipeline(
                        {"batch": 1, "viz": False, "views": s},
                        take_names=False)
 
+    state_manifest = None
+    if stream_window:
+        # the causal KV-cache step: (params, frame, cache) -> (out, cache').
+        # The cache pytree is flattened to a leaf list on both sides, so the
+        # consumer only needs ordered arrays (no treedef to serialize); its
+        # initial value ships in the container under state/.
+        step, cache0 = pipe.stream_export_bundle(stream_window, in_hw)
+        state_leaves, state_treedef = jax.tree_util.tree_flatten(cache0)
+
+        def flat_step(leaves_in, frame_u8, cache_leaves):
+            out, c2 = step(
+                jax.tree_util.tree_unflatten(treedef, leaves_in),
+                frame_u8,
+                jax.tree_util.tree_unflatten(state_treedef, cache_leaves),
+            )
+            return out, jax.tree_util.tree_leaves(c2)
+
+        frame_aval = jax.ShapeDtypeStruct((in_hw[0], in_hw[1], 3), np.uint8)
+        state_avals = [_abstract(x) for x in state_leaves]
+        exp = jexport.export(jax.jit(flat_step), platforms=tuple(platforms))(
+            abstract_leaves, frame_aval, state_avals
+        )
+        blobs["stream"] = exp.serialize()
+        modules["stream"] = {"batch": 1, "viz": True, "stream": True,
+                             "window": int(stream_window), "outputs": []}
+        state_manifest = state_leaves  # written below alongside params
+
     entry = {
         "format": "MDETENG",
         "format_version": FORMAT_VERSION,
@@ -225,6 +258,9 @@ def export_pipeline(
     }
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
         entry["param_manifest"] = _write_leaves(z, leaves)
+        if state_manifest is not None:
+            entry["state_manifest"] = _write_leaves(z, state_manifest,
+                                                    prefix="state")
         z.writestr(_META_NAME, json.dumps(entry, indent=2))
         for key, payload in blobs.items():
             z.writestr(f"modules/{key}.bin", payload)
@@ -300,6 +336,13 @@ class LoadedEngine:
             for key in self.meta["modules"]:
                 exp = jexport.deserialize(z.read(f"modules/{key}.bin"))
                 self._fns[key] = _guard(jax.jit(exp.call))
+            self._state0 = None
+            if "state_manifest" in self.meta:
+                self._state0 = [
+                    device_put_chunked(leaf)
+                    for leaf in _read_leaves(z, self.meta["state_manifest"],
+                                             prefix="state")
+                ]
         self.path = path
         hw = self.meta["in_hw"]
         self.spec = ModelSpec(
@@ -339,7 +382,7 @@ class LoadedEngine:
                 m["batch"]
                 for m in self.meta["modules"].values()
                 if m["viz"] == want_viz and m["batch"] >= batch
-                and not m.get("views")
+                and not m.get("views") and not m.get("stream")
             )
             if buckets:
                 return self._fns[_module_key(buckets[0], want_viz)], buckets[0]
@@ -408,6 +451,25 @@ class LoadedEngine:
             return out
         return jax.tree_util.tree_map(np.asarray, out)
 
+
+    def stream(self, window: int = 0):
+        """run_video's per-video hook. With an exported stream module: a
+        causal KV-cache runner whose state (shipped in the container under
+        state/) rides on device between frames — the streaming serving the
+        reference could not export. Without one: a plain per-frame callable,
+        same as non-streaming pipelines."""
+        if "stream" not in self._fns:
+            return lambda frame, viz=False: self(frame, viz=viz)
+        fn = self._fns["stream"]
+        leaves, fit = self._leaves, self.fit
+        state = list(self._state0)
+
+        def runner(frame, viz=False):
+            nonlocal state
+            out, state = fn(leaves, fit(np.asarray(frame)), state)
+            return jax.tree_util.tree_map(np.asarray, out)
+
+        return runner
 
     def multi_view(self, views_u8):
         """S-view joint inference from a views module (`mdet views

@@ -553,6 +553,103 @@ def test_cli_views_from_artifact(tmp_path):
     assert any(f.endswith("_s2.ply") for f in files)
 
 
+def _toy_stream_pipeline():
+    """Pipeline with a stream_export_bundle: causal state (running mean)
+    threaded through a pure step, mirroring the StreamVGGT KV-cache
+    contract."""
+
+    class ToyStream(DepthPipeline):
+        def stream_export_bundle(self, window=2, frame_hw=(16, 16)):
+            cache0 = {"acc": jnp.zeros((16, 16), jnp.float32),
+                      "n": jnp.zeros((), jnp.float32)}
+
+            def step(p, frame_u8, cache):
+                x = frame_u8.astype(jnp.float32).mean(-1) * p["g"]
+                acc = cache["acc"] + x
+                n = cache["n"] + 1.0
+                out = {"depth": acc / n,
+                       "viz": jnp.clip(acc / n, 0, 255)[..., None].repeat(
+                           3, -1).astype(jnp.uint8)}
+                return out, {"acc": acc, "n": n}
+
+            return step, cache0
+
+    spec = ModelSpec(model="toy_stream", input_hw=(16, 16))
+
+    def forward(params, img_u8, out_hw):
+        return {"depth": img_u8.astype(jnp.float32).mean(-1) * params["g"]}
+
+    return ToyStream(spec, forward, {"g": jnp.asarray(1.0, jnp.float32)},
+                     viz="none")
+
+
+def test_stream_module_exports_causal_state(tmp_path):
+    """--stream-window exports the causal step; the loaded runner threads
+    device-resident state between frames (identical frames give different
+    outputs as the running state evolves, matching the pure step)."""
+    pipe = _toy_stream_pipeline()
+    path = export_pipeline(pipe, (16, 16), stream_window=2,
+                           path=str(tmp_path / "st.mdeteng"))
+    meta = read_meta(path)
+    assert meta["modules"]["stream"]["stream"] is True
+    assert meta["modules"]["stream"]["window"] == 2
+    assert "state_manifest" in meta
+
+    eng = load_engine(path)
+    runner = eng.stream()
+    f = _img()
+    o1 = runner(f, viz=True)
+    o2 = runner(f, viz=True)
+    # reference: run the pure step twice
+    step, cache = pipe.stream_export_bundle(2, (16, 16))
+    w1, cache = step(pipe.params, jnp.asarray(f), cache)
+    w2, cache = step(pipe.params, jnp.asarray(f), cache)
+    np.testing.assert_allclose(o1["depth"], np.asarray(w1["depth"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(o2["depth"], np.asarray(w2["depth"]),
+                               rtol=1e-6)
+    assert "viz" in o1
+    # single-image calls still route to b1, never the stream module
+    assert eng(_img())["depth"].shape == (16, 16)
+
+
+def test_stream_fallback_for_plain_artifacts(tmp_path):
+    pipe = _toy_pipeline()
+    path = export_pipeline(pipe, (16, 16), with_viz=True,
+                           path=str(tmp_path / "pf.mdeteng"))
+    runner = load_engine(path).stream()
+    out = runner(_img(), viz=True)
+    assert "depth" in out and "viz" in out
+
+
+def test_stream_rejected_without_bundle_hook(tmp_path):
+    with pytest.raises(ValueError, match="streaming step"):
+        export_pipeline(_toy_pipeline(), (16, 16), stream_window=2,
+                        path=str(tmp_path / "sx.mdeteng"))
+
+
+def test_cli_video_from_stream_artifact(tmp_path):
+    """`mdet video --engine <stream artifact>`: per-frame causal depth."""
+    import cv2
+
+    pipe = _toy_stream_pipeline()
+    eng_path = export_pipeline(pipe, (16, 16), stream_window=2,
+                               path=str(tmp_path / "sv.mdeteng"))
+    vp = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (64, 48))
+    for s in range(3):
+        writer.write(cv2.cvtColor(_img((48, 64, 3), seed=s),
+                                  cv2.COLOR_RGB2BGR))
+    writer.release()
+    out_dir = tmp_path / "svout"
+    rc = cli.main(["video", "--engine", eng_path, "--video", vp,
+                   "--out", str(out_dir)])
+    assert rc == 0
+    mp4 = [f for f in os.listdir(out_dir) if f.endswith(".mp4")]
+    assert len(mp4) == 1
+
+
 def test_http_server_from_artifact(tmp_path, monkeypatch):
     """`mdet serve --engine`: DepthServer drives the LoadedEngine through
     the same pipeline calling convention (single + dynamic batch)."""
