@@ -628,6 +628,38 @@ def test_stream_rejected_without_bundle_hook(tmp_path):
                         path=str(tmp_path / "sx.mdeteng"))
 
 
+@pytest.mark.slow
+def test_registry_streamvggt_stream_export(tmp_path, rng):
+    """The REAL StreamVGGT causal step (nested-jit apply + KV ring cache +
+    pad-square preprocess + viz epilogue) exports and matches the live
+    .stream() runner step for step."""
+    import jax
+    from golden_specs import _vggt_cfg
+    from monocular_depth_estimation_trt_tpu.models.vggt import VGGT
+    from monocular_depth_estimation_trt_tpu.registry import _build_vggt
+
+    cfg = _vggt_cfg(causal=True)
+    base = VGGT(cfg=cfg, dtype=jnp.float32, attn_impl="xla",
+                with_camera=True)
+    params = base.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 1, 70, 70, 3))
+    )["params"]
+    pipe = _build_vggt("streamvggt", 70, "fp32", "xla", params,
+                       vggt_cfg=cfg)
+    path = export_pipeline(pipe, (70, 70), stream_window=2,
+                           path=str(tmp_path / "svgt.mdeteng"))
+    eng = load_engine(path)
+    runner = eng.stream()
+    live = pipe.stream(2)
+    for s in range(3):  # past the window: ring-slide behavior too
+        frame = rng.integers(0, 255, (70, 70, 3), dtype=np.uint8)
+        got = runner(frame)
+        want = live(frame)
+        np.testing.assert_allclose(got["depth"], want["depth"],
+                                   rtol=0, atol=1e-3)
+        assert "viz" in got
+
+
 def test_cli_video_from_stream_artifact(tmp_path):
     """`mdet video --engine <stream artifact>`: per-frame causal depth."""
     import cv2
