@@ -225,9 +225,11 @@ class VGGTStreamingSession:
             lambda x: x * 0 if hasattr(x, "dtype") else x, self._cache
         )
 
-    def step(self, frame_u8: np.ndarray):
-        """frame_u8: (H, W, 3) RGB uint8 -> dict with this view's
-        depth/conf (device arrays)."""
+    def pure_step(self, params, frame_u8, cache):
+        """One causal step as a PURE function (params/cache explicit) —
+        the single definition shared by the stateful ``step`` and the
+        serialized-artifact export (``registry`` ``stream_export_bundle``),
+        so the two can never drift."""
         import jax.numpy as jnp
 
         from monocular_depth_estimation_trt_tpu.ops.preprocess import (
@@ -235,7 +237,7 @@ class VGGTStreamingSession:
         )
 
         x = preprocess_pad_square(jnp.asarray(frame_u8), self.input_size)
-        out, self._cache = self._jit(self.params, x, self._cache)
+        out, cache = self._jit(params, x, cache)
         result = {
             "depth": out["depth"][0],
             "depth_conf": out["depth_conf"][0],
@@ -243,6 +245,13 @@ class VGGTStreamingSession:
         for k in ("pose_enc", "world_points", "world_points_conf"):
             if k in out:
                 result[k] = out[k][0]
+        return result, cache
+
+    def step(self, frame_u8: np.ndarray):
+        """frame_u8: (H, W, 3) RGB uint8 -> dict with this view's
+        depth/conf (device arrays)."""
+        result, self._cache = self.pure_step(self.params, frame_u8,
+                                             self._cache)
         return result
 
 

@@ -109,12 +109,17 @@ def _calib_images_from(args):
     return [_load_image(p) for p in paths]
 
 
-def _load_artifact(path, *, surface, need_viz=False, need_images=(1,),
-                   need_views=None):
+def _load_artifact(path, *, surface, need_viz=False, allow_stream_viz=False,
+                   need_images=(1,), need_views=None):
     """Validate an .mdeteng against a surface's needs from meta ALONE
     (read_meta is a zip-header read), then load — so a wrong artifact is
     rejected before the weight device-put and module deserialization.
-    Returns None after logging when the artifact cannot serve the surface."""
+    Returns None after logging when the artifact cannot serve the surface.
+
+    ``need_viz`` counts only per-call (non-stream) viz modules — the
+    surfaces that call ``pipe(frame, viz=True)`` directly can't use the
+    stream module's viz. ``allow_stream_viz`` additionally accepts a
+    stream module (surfaces that route through ``.stream()``, i.e. video)."""
     from monocular_depth_estimation_trt_tpu.runtime.export import (
         load_engine,
         read_meta,
@@ -126,7 +131,10 @@ def _load_artifact(path, *, surface, need_viz=False, need_images=(1,),
         log(f"{surface} needs a {'/'.join(map(str, need_images))}-image "
             f"artifact; {path} takes {n} image(s) per call", tag="ERROR")
         return None
-    if need_viz and not any(m["viz"] for m in meta["modules"].values()):
+    mods = list(meta["modules"].values())
+    call_viz = any(m["viz"] and not m.get("stream") for m in mods)
+    stream_viz = any(m.get("stream") for m in mods)
+    if need_viz and not (call_viz or (allow_stream_viz and stream_viz)):
         log(f"{surface} needs a viz module; re-export with --viz or "
             "--serve-bundle", tag="ERROR")
         return None
@@ -502,7 +510,8 @@ def cmd_video(args) -> int:
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
     if getattr(args, "engine", ""):
-        pipe = _load_artifact(args.engine, surface="video", need_viz=True)
+        pipe = _load_artifact(args.engine, surface="video", need_viz=True,
+                              allow_stream_viz=True)
         if pipe is None:
             return 2
         log(f"video from artifact: {pipe.describe()}")

@@ -1086,15 +1086,10 @@ def _build_vggt(
             frame_hw = tuple(int(x) for x in frame_hw)
 
             def step(p, frame_u8, cache):
-                from monocular_depth_estimation_trt_tpu.ops.preprocess import (
-                    preprocess_pad_square,
-                )
-
-                x = preprocess_pad_square(frame_u8, input_size)
-                out, c2 = sess._jit(p, x, cache)
-                res = self._stream_viz(out["depth"][0], frame_hw)
-                res["depth_conf"] = out["depth_conf"][0]
-                return res, c2
+                out, c2 = sess.pure_step(p, frame_u8, cache)
+                # same output contract as the live .stream() runner:
+                # {"depth", "viz"} at the frame resolution
+                return self._stream_viz(out["depth"], frame_hw), c2
 
             return step, sess._cache
 

@@ -71,17 +71,27 @@ def _dtype_from_name(name: str) -> np.dtype:
         return np.dtype(getattr(ml_dtypes, name))
 
 
-def _write_leaves(z: zipfile.ZipFile, leaves, prefix: str = "params") -> list:
+def _write_leaves(z: zipfile.ZipFile, leaves, prefix: str = "params",
+                  skip_zeros: bool = False) -> list:
     """Store a leaf-list snapshot as raw bytes + a manifest (np.savez cannot
     serialize ml_dtypes like bfloat16 without pickling). Tensors go in
     UNCOMPRESSED: bf16/int8 barely deflates, and at VGGT scale (~2 GB)
-    compression would dominate both export and load time."""
+    compression would dominate both export and load time.
+
+    ``skip_zeros``: all-zero leaves are recorded in the manifest only (the
+    loader recreates them ON DEVICE) — the streaming KV cache's initial
+    state is ~0.5 GB of zeros for real VGGT, which must cost neither file
+    size nor a host->device transfer."""
     manifest = []
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        z.writestr(f"{prefix}/{i}.bin", arr.tobytes(),
-                   compress_type=zipfile.ZIP_STORED)
-        manifest.append({"shape": list(arr.shape), "dtype": arr.dtype.name})
+        entry = {"shape": list(arr.shape), "dtype": arr.dtype.name}
+        if skip_zeros and not arr.any():
+            entry["zero"] = True
+        else:
+            z.writestr(f"{prefix}/{i}.bin", arr.tobytes(),
+                       compress_type=zipfile.ZIP_STORED)
+        manifest.append(entry)
     return manifest
 
 
@@ -137,6 +147,9 @@ def export_pipeline(
             f"{getattr(pipe.spec, 'model', 'pipeline')} has no multi-view "
             f"protocol (--views is VGGT-family only)"
         )
+    stream_window = int(stream_window)
+    if stream_window < 0:
+        raise ValueError(f"--stream-window must be >= 1, got {stream_window}")
     if stream_window and not hasattr(pipe, "stream_export_bundle"):
         raise ValueError(
             f"{getattr(pipe.spec, 'model', 'pipeline')} has no serializable "
@@ -233,8 +246,14 @@ def export_pipeline(
             abstract_leaves, frame_aval, state_avals
         )
         blobs["stream"] = exp.serialize()
-        modules["stream"] = {"batch": 1, "viz": True, "stream": True,
-                             "window": int(stream_window), "outputs": []}
+        modules["stream"] = {
+            "batch": 1, "viz": True, "stream": True,
+            "window": int(stream_window),
+            "outputs": [
+                {"shape": list(a.shape), "dtype": str(a.dtype)}
+                for a in exp.out_avals
+            ],
+        }
         state_manifest = state_leaves  # written below alongside params
 
     entry = {
@@ -260,7 +279,8 @@ def export_pipeline(
         entry["param_manifest"] = _write_leaves(z, leaves)
         if state_manifest is not None:
             entry["state_manifest"] = _write_leaves(z, state_manifest,
-                                                    prefix="state")
+                                                    prefix="state",
+                                                    skip_zeros=True)
         z.writestr(_META_NAME, json.dumps(entry, indent=2))
         for key, payload in blobs.items():
             z.writestr(f"modules/{key}.bin", payload)
@@ -338,11 +358,20 @@ class LoadedEngine:
                 self._fns[key] = _guard(jax.jit(exp.call))
             self._state0 = None
             if "state_manifest" in self.meta:
-                self._state0 = [
-                    device_put_chunked(leaf)
-                    for leaf in _read_leaves(z, self.meta["state_manifest"],
-                                             prefix="state")
-                ]
+                import jax.numpy as jnp
+
+                self._state0 = []
+                for i, m in enumerate(self.meta["state_manifest"]):
+                    dt = _dtype_from_name(m["dtype"])
+                    if m.get("zero"):
+                        # created ON device — zero state costs no bytes in
+                        # the file and no host->device transfer
+                        self._state0.append(jnp.zeros(m["shape"], dt))
+                    else:
+                        arr = np.frombuffer(
+                            z.read(f"state/{i}.bin"), dtype=dt
+                        ).reshape(m["shape"])
+                        self._state0.append(device_put_chunked(arr))
         self.path = path
         hw = self.meta["in_hw"]
         self.spec = ModelSpec(
@@ -460,6 +489,12 @@ class LoadedEngine:
         same as non-streaming pipelines."""
         if "stream" not in self._fns:
             return lambda frame, viz=False: self(frame, viz=viz)
+        baked = int(self.meta["modules"]["stream"].get("window", 0))
+        if window and baked and window != baked:
+            raise ValueError(
+                f"{self.path} was exported with --stream-window {baked}; "
+                f"window={window} cannot apply (re-export)"
+            )
         fn = self._fns["stream"]
         leaves, fit = self._leaves, self.fit
         state = list(self._state0)

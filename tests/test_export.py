@@ -613,6 +613,45 @@ def test_stream_module_exports_causal_state(tmp_path):
     assert eng(_img())["depth"].shape == (16, 16)
 
 
+def test_stream_zero_state_ships_as_manifest_only(tmp_path):
+    """All-zero initial cache leaves cost neither file bytes nor a
+    host->device transfer (real VGGT's KV cache is ~0.5 GB of zeros)."""
+    pipe = _toy_stream_pipeline()
+    path = export_pipeline(pipe, (16, 16), stream_window=2,
+                           path=str(tmp_path / "z.mdeteng"))
+    with zipfile.ZipFile(path) as z:
+        assert not any(n.startswith("state/") for n in z.namelist())
+    meta = read_meta(path)
+    assert all(m.get("zero") for m in meta["state_manifest"])
+    assert meta["modules"]["stream"]["outputs"]  # shapes recorded
+
+
+def test_stream_window_mismatch_raises(tmp_path):
+    pipe = _toy_stream_pipeline()
+    path = export_pipeline(pipe, (16, 16), stream_window=2,
+                           path=str(tmp_path / "w.mdeteng"))
+    eng = load_engine(path)
+    with pytest.raises(ValueError, match="stream-window 2"):
+        eng.stream(window=4)
+    assert callable(eng.stream(window=2))  # matching window is fine
+
+
+def test_webcam_rejects_stream_only_viz_artifact(tmp_path):
+    """The stream module's fused viz does NOT satisfy webcam (which calls
+    pipe(frame, viz=True) per frame); video (which routes through
+    .stream()) accepts the same artifact."""
+    pipe = _toy_stream_pipeline()
+    path = export_pipeline(pipe, (16, 16), stream_window=2,
+                           path=str(tmp_path / "wv.mdeteng"))
+    assert cli.main(["webcam", "--engine", path]) == 2
+
+
+def test_export_rejects_negative_stream_window(tmp_path):
+    with pytest.raises(ValueError, match="stream-window"):
+        export_pipeline(_toy_stream_pipeline(), (16, 16), stream_window=-1,
+                        path=str(tmp_path / "n.mdeteng"))
+
+
 def test_stream_fallback_for_plain_artifacts(tmp_path):
     pipe = _toy_pipeline()
     path = export_pipeline(pipe, (16, 16), with_viz=True,
