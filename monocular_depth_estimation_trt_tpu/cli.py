@@ -593,7 +593,15 @@ def cmd_pair(args) -> int:
 
     img1 = _load_image(args.image1)
     img2 = _load_image(args.image2)
-    pipe = build_pipeline(args.model)
+    if getattr(args, "engine", ""):
+        pipe = _load_artifact(args.engine, surface="pair",
+                              need_images=(2,))
+        if pipe is None:
+            return 2
+        log(f"pair from artifact: {pipe.describe()}")
+        img1, img2 = pipe.fit(img1), pipe.fit(img2)
+    else:
+        pipe = build_pipeline(args.model)
     out = pipe(img1, img2)
 
     os.makedirs(args.out, exist_ok=True)
@@ -1441,6 +1449,9 @@ def build_parser() -> argparse.ArgumentParser:
                           help="two-image 3D reconstruction (depth + "
                                "pointcloud + relative pose)")
     pair.add_argument("model", nargs="?", default="align3r")
+    pair.add_argument("--engine", default="",
+                      help="serve from a serialized .mdeteng artifact "
+                      "(2-image, e.g. an exported align3r)")
     pair.add_argument("--image1", required=True)
     pair.add_argument("--image2", required=True)
     pair.add_argument("--out", default="results")

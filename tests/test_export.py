@@ -383,6 +383,37 @@ def test_flow_pipeline_exports_two_image_artifact(tmp_path):
                         path=str(tmp_path / "fb.mdeteng"))
 
 
+def test_cli_pair_from_artifact(tmp_path):
+    """`mdet pair --engine`: two-image 3D (depth jpg + cloud ply + pose
+    json) straight from a 2-image artifact."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu.pipelines import FlowPipeline
+
+    spec = ModelSpec(model="toy_pair", input_hw=(16, 16))
+
+    def forward(params, img1, img2):
+        d = img1.astype(jnp.float32).mean(-1) + 1.0
+        pts = jnp.stack([d, d, d], -1)
+        return {"depth": d, "pts1": pts, "pts2": pts,
+                "rotation": jnp.eye(3), "translation": jnp.zeros(3)}
+
+    pipe = FlowPipeline(spec, forward, {})
+    eng_path = export_pipeline(pipe, (16, 16),
+                               path=str(tmp_path / "pair.mdeteng"))
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    cv2.imwrite(p1, _img(seed=1))
+    cv2.imwrite(p2, _img(seed=2))
+    out_dir = tmp_path / "pout"
+    rc = cli.main(["pair", "--engine", eng_path, "--image1", p1,
+                   "--image2", p2, "--out", str(out_dir)])
+    assert rc == 0
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".jpg") for f in files)
+    assert any(f.endswith(".ply") for f in files)
+    assert any(f.endswith("_pose.json") for f in files)
+
+
 def test_cli_flow_from_artifact(tmp_path):
     """`mdet flow --engine`: consecutive-frame flow straight from a flow
     artifact (color-wheel mp4 out)."""
