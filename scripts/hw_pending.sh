@@ -17,8 +17,15 @@ timeout 14400 python bench_all.py --isolate \
     --models depth_anything_v2_vitl_int8,depth_anything_v2_vits_int8,metric3d_v2_vitl_int8,depth_pro_int8,vggt_int8 \
     --out BENCH_QUANT.json 2>&1 | tee /tmp/hw_quant.log
 
-# 3. fold the int8 rows into the zoo table + regenerate README
+# 2b. batched offline-serving rows (BATCHED_SUITE; PERF.md's plateau
+#     numbers become reproducible rows)
+timeout 7200 python bench_all.py --isolate \
+    --models depth_anything_v2_vits_b8,depth_anything_ac_vits_b8,depth_anything_v2_vitl_b4 \
+    --out BENCH_BATCHED.json 2>&1 | tee /tmp/hw_batched.log
+
+# 3. fold the new rows into the zoo table + regenerate README
 python scripts/merge_bench.py BENCH_QUANT.json BENCH_ALL.json
+python scripts/merge_bench.py BENCH_BATCHED.json BENCH_ALL.json
 python scripts/gen_readme_table.py
 
 # 4. serialized-artifact smoke on real TPU: export, serve from the file,
