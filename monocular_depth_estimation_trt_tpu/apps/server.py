@@ -279,6 +279,17 @@ def make_handler(server: DepthServer):
         def _json(self, code: int, obj: Dict[str, Any]) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _drain_body(self) -> None:
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                length = 0
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def do_GET(self):
             path = urlparse(self.path).path
             if path == "/v1/health":
@@ -295,6 +306,10 @@ def make_handler(server: DepthServer):
 
             url = urlparse(self.path)
             if url.path != "/v1/depth":
+                # drain the request body first: with HTTP/1.1 keep-alive an
+                # unread body would be parsed as the start of the NEXT
+                # request on this connection
+                self._drain_body()
                 return self._json(404, {"error": f"unknown path {url.path}"})
             fmt = parse_qs(url.query).get("format", ["npz"])[0]
             try:

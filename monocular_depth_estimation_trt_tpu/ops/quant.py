@@ -270,39 +270,23 @@ def as_variables(p) -> Dict:
     return {"params": p}
 
 
-def quantize_model_bundle(model_serve, params, samples, *, cache_name=None,
-                          cacheable=False):
-    """Family-generic int8 build: calibrate (or load cached scales), build
-    the q8 collection, and return the pruned serving bundle
-    ``{"params", "q8"}`` for ``model_serve`` (built with ``quant="serve"``).
+def quantize_model_bundle(model_serve, params, samples):
+    """Family-generic int8 build: calibrate, build the q8 collection, and
+    return the pruned serving bundle ``{"params", "q8"}`` for
+    ``model_serve`` (built with ``quant="serve"``).
 
     ``samples``: tuple of preprocessed input batches for calibration, or a
-    zero-arg callable producing one (deferred so a cache hit skips the
-    preprocessing work entirely).
-    ``cache_name``/``cacheable``: persist the deterministic scales via the
-    weights store (callers disable for explicit params / custom images /
-    random weights — a cached q8 must correspond to the cached params).
+    zero-arg callable producing one. Caching lives at the caller
+    (registry ``_int8_bundle``), which persists the WHOLE bundle under a
+    versioned name — a q8 collection is only valid with the exact params
+    it was calibrated against, so this layer never caches on its own.
     """
     import dataclasses as _dc
 
-    from monocular_depth_estimation_trt_tpu.weights.store import (
-        load_params,
-        save_params,
-    )
-
-    q8 = None
-    if cacheable and cache_name:
-        try:
-            q8 = load_params(cache_name)
-        except Exception:
-            q8 = None
-    if q8 is None:
-        if callable(samples):
-            samples = samples()
-        calib = _dc.replace(model_serve, quant="calib")
-        q8 = quantize_vit_pipeline(calib, model_serve, params, samples)
-        if cacheable and cache_name:
-            save_params(cache_name, q8)
+    if callable(samples):
+        samples = samples()
+    calib = _dc.replace(model_serve, quant="calib")
+    q8 = quantize_vit_pipeline(calib, model_serve, params, samples)
     return {"params": prune_quantized_kernels(params, q8), "q8": q8}
 
 

@@ -40,12 +40,13 @@ class FrontendConfig:
     depth_is_disparity: bool = True  # DA-family nets emit disparity
 
 
-def _mean2(img: np.ndarray) -> np.ndarray:
-    """2x box-downsample (H, W[, C]) by averaging — cheap host resize."""
-    h, w = img.shape[:2]
-    h2, w2 = h // 2, w // 2
-    img = img[: h2 * 2, : w2 * 2]
-    return img.reshape(h2, 2, w2, 2, *img.shape[2:]).mean(axis=(1, 3))
+def scale_coords(p: np.ndarray, src: float, dst: float) -> np.ndarray:
+    """Map pixel-center coords from a src-length axis to a dst-length axis.
+
+    The half-pixel-center form ``(p + 0.5) * (dst / src) - 0.5`` (plain
+    ``p * dst / src`` is biased by up to half a source pixel at the
+    borders — the same convention ops/resize.py uses on device)."""
+    return (p + 0.5) * (dst / src) - 0.5
 
 
 def _bilinear(img: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -113,7 +114,10 @@ class Frontend:
                 if j < num_kf:
                     edges.append((i, j))
                     edges.append((j, i))
-        return np.asarray(edges, np.int32)
+        # reshape keeps the (0, 2) shape when there are no edges (a single
+        # keyframe) — np.asarray([]) alone would be 1-D and crash the BA
+        # residuals' edges[:, 0] indexing
+        return np.asarray(edges, np.int32).reshape(-1, 2)
 
     # -- problem assembly -------------------------------------------------
     def build_problem(
@@ -179,7 +183,7 @@ class Frontend:
             disp = disp / med
             full_disp.append(disp)
             idepth[n] = _bilinear(
-                disp, pu * (dw / fw), pv * (dh / fh)
+                disp, scale_coords(pu, fw, dw), scale_coords(pv, fh, dh)
             )
 
         prob = BAProblem(

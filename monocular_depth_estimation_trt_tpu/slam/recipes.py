@@ -56,6 +56,7 @@ from monocular_depth_estimation_trt_tpu.slam.frontend import (
     _bilinear,
     make_pipeline_depth_fn,
     make_pipeline_flow_fn,
+    scale_coords,
 )
 from monocular_depth_estimation_trt_tpu.utils.logging import log
 
@@ -180,8 +181,10 @@ class _BARecipe:
             fg = _bilinear(flow, pu, pv)
             tu, tv = pu + fg[:, 0], pv + fg[:, 1]
             kh, kw = kf_disp.shape[:2]
-            tgt_disp = _bilinear(kf_disp, tu * (kw / fw), tv * (kh / fh))
-            own = _bilinear(disp, pu * (dw / fw), pv * (dh / fh))
+            tgt_disp = _bilinear(kf_disp, scale_coords(tu, fw, kw),
+                                 scale_coords(tv, fh, kh))
+            own = _bilinear(disp, scale_coords(pu, fw, dw),
+                            scale_coords(pv, fh, dh))
             inside = (tu >= 0) & (tu <= fw - 1) & (tv >= 0) & (tv <= fh - 1)
             w = inside.astype(np.float32)
             s, q = align_disparity(
@@ -419,6 +422,7 @@ class WildGSSLAMPipeline(_BARecipe):
             depths.append(jnp.asarray(depth, jnp.float32))
             poses.append(pose)
             # optimize over the keyframe window (round-robin)
+            loss = jnp.float32(float("nan"))  # mapping_iters=0: no loss yet
             for it in range(self.mapping_iters):
                 j = it % len(rgbs)
                 gmap, unc_params, opt_state, loss, _ = step(

@@ -107,9 +107,11 @@ def distill(
             teacher_cache[pos] = np.asarray(teacher_fn(imgs))
         teacher = teacher_cache[pos]
         state, metrics = step_fn(state, (jnp.asarray(imgs), jnp.asarray(teacher)))
-        loss = float(metrics["loss"])
-        history.append(loss)
+        # keep the loss on device: a float() here would force a ~28 ms
+        # host round-trip per step over the remote-TPU tunnel and stop
+        # steps from pipelining; only the log points read back
+        history.append(metrics["loss"])
         if log_every and (i % log_every == 0 or i == steps - 1):
-            log(f"distill step {i + 1}/{steps}: loss={loss:.5f} "
+            log(f"distill step {i + 1}/{steps}: loss={float(metrics['loss']):.5f} "
                 f"grad_norm={float(metrics['grad_norm']):.4f}")
-    return state, history
+    return state, [float(x) for x in history]

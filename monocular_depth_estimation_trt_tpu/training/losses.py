@@ -150,7 +150,12 @@ def silog_loss(
     w, n = _masked(d, mask)
     m1 = (w * d).sum(axis=(-2, -1)) / n
     m2 = (w * d * d).sum(axis=(-2, -1)) / n
-    return jnp.mean(alpha * jnp.sqrt(jnp.maximum(m2 - lam * m1 * m1, 0.0)))
+    # sqrt has an infinite derivative at 0; a fully-masked sample or an
+    # exact fit would turn the (0-valued) gradient chain into NaN and
+    # poison every parameter in one optimizer step — keep the argument
+    # strictly positive under grad
+    var = jnp.maximum(m2 - lam * m1 * m1, 0.0)
+    return jnp.mean(alpha * jnp.sqrt(var + 1e-12))
 
 
 def distillation_loss(

@@ -125,6 +125,30 @@ def test_bad_image_400_and_unknown_404(server_factory):
     assert e.value.code == 404
 
 
+def test_keepalive_404_drains_body(server_factory):
+    """A POST with a body to an unknown path must not desync the
+    keep-alive connection: the next request on the SAME socket has to
+    parse cleanly (the unread body would otherwise be read as its start)."""
+    import http.client
+
+    base, _ = server_factory(FakePipeline())
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.request("POST", "/v1/depths", body=_png_bytes())  # typo path
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        # same socket: a valid request must still work
+        conn.request("POST", "/v1/depth", body=_png_bytes())
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        data = np.load(io.BytesIO(r2.read()))
+        assert data["depth"].shape == (32, 48)
+    finally:
+        conn.close()
+
+
 def test_pipeline_error_becomes_500(server_factory):
     class Boom(FakePipeline):
         def __call__(self, frame, viz=False):

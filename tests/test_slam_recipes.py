@@ -22,6 +22,7 @@ from monocular_depth_estimation_trt_tpu.slam.frontend import (
     Frontend,
     FrontendConfig,
     _bilinear,
+    scale_coords,
 )
 from monocular_depth_estimation_trt_tpu.slam.lie import (
     rotation_geodesic_deg,
@@ -141,8 +142,27 @@ def test_frontend_keyframes_and_problem():
     pu, pv = np.asarray(prob.points_uv).T
     dh, dw = world.depth_hw
     fh, fw = world.flow_hw
-    ref = _bilinear(d0 / med, pu * (dw / fw), pv * (dh / fh))
+    ref = _bilinear(d0 / med, scale_coords(pu, fw, dw),
+                    scale_coords(pv, fh, dh))
     assert np.allclose(np.asarray(prob.idepth)[0], ref, atol=1e-5)
+
+
+def test_frontend_single_keyframe_problem():
+    """A low-motion clip can yield a single keyframe: the edge array must
+    keep its (0, 2) shape so the BA residuals' edges[:, 0] indexing (and
+    run_ba itself) still trace."""
+    world, cfg = _world_and_cfg()
+    fe = Frontend(world.flow_fn, world.depth_fn_factory(), cfg)
+    edges = fe.build_edges(1)
+    assert edges.shape == (0, 2) and edges.dtype == np.int32
+
+    prob, aux = fe.build_problem([world.frame(0)], [0])
+    assert prob.edges.shape[0] == 0 and prob.flow.shape[0] == 0
+    from monocular_depth_estimation_trt_tpu.slam.ba import init_state, run_ba
+    state, info = run_ba(prob, init_state(1), world.focal, world.flow_hw,
+                         BAConfig(iters=2))
+    assert state.poses.shape == (1, 4, 4)
+    assert np.all(np.isfinite(np.asarray(state.poses)))
 
 
 def test_megasam_recovers_trajectory():

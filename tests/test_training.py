@@ -102,6 +102,20 @@ def test_losses_are_grad_safe(rng):
         assert np.isfinite(np.asarray(g)).all(), fn.__name__
 
 
+def test_silog_grad_safe_at_zero_variance(rng):
+    """sqrt'(0) is infinite: an exact fit or a fully-masked sample must not
+    produce NaN gradients (they would poison every param in one step)."""
+    target = jnp.asarray(np.abs(_rand(rng, 1, 8, 8)) + 0.5)
+    # exact fit: variance term is exactly 0
+    g = jax.grad(lambda p: silog_loss(p, target))(target)
+    assert np.isfinite(np.asarray(g)).all()
+    # fully-masked sample alongside a live one
+    mask = jnp.stack([jnp.zeros((8, 8)), jnp.ones((8, 8))])
+    t2 = jnp.concatenate([target, target])
+    g = jax.grad(lambda p: silog_loss(p, t2, mask))(t2 * 1.3)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 # ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
