@@ -24,8 +24,19 @@ deps), designed around the TPU serving realities:
 Endpoints:
   GET  /v1/health          -> {"model", "input_hw", "uptime_s", ...}
   GET  /v1/stats           -> {"requests", "errors", "avg_ms", "p50_ms", ...}
+  GET  /v1/models          -> served model names + input sizes
   POST /v1/depth           -> npz of all array outputs (depth, fov, ...)
   POST /v1/depth?format=jpg -> colorized depth JPEG
+  POST /v1/models/<name>/depth -> same, explicit model (multi-model serving)
+
+Multi-model serving (``mdet serve --engine a.mdeteng --engine b.mdeteng``):
+one server process hosts several engines behind one device-worker thread —
+the chip is still owned by exactly one thread, requests for different
+models are grouped per model before each launch, and every model keeps its
+own input size. ``POST /v1/depth`` serves the first (default) model;
+``/v1/models/<name>/depth`` (or ``?model=<name>``) addresses the rest.
+The reference has no serving layer at all; the closest production analogue
+is a Triton model repository of TRT plans.
 """
 
 from __future__ import annotations
@@ -45,30 +56,48 @@ from monocular_depth_estimation_trt_tpu.utils.logging import log
 
 
 class _Job:
-    __slots__ = ("frame", "viz", "done", "result", "error")
+    __slots__ = ("frame", "viz", "model", "done", "result", "error")
 
-    def __init__(self, frame: np.ndarray, viz: bool):
+    def __init__(self, frame: np.ndarray, viz: bool, model: str):
         self.frame = frame
         self.viz = viz
+        self.model = model
         self.done = threading.Event()
         self.result: Optional[Dict[str, Any]] = None
         self.error: Optional[str] = None
 
 
 class DepthServer:
-    """Wraps a pipeline in a single-device-worker request queue.
+    """Wraps one or several pipelines in a single-device-worker request queue.
 
-    ``pipeline`` is any registry pipeline (``pipe(frame, viz=...) -> dict``).
-    ``input_hw`` fixes the served resolution (requests are resized to it);
-    defaults to the pipeline spec's input size.
+    ``pipeline`` is any registry pipeline (``pipe(frame, viz=...) -> dict``)
+    OR an ordered ``{name: pipeline}`` dict for multi-model serving (the
+    first entry is the default model ``POST /v1/depth`` serves).
+    ``input_hw`` fixes the served resolution of the default model (requests
+    are resized to it); every model defaults to its own spec's input size.
     """
 
     def __init__(self, pipeline, input_hw: Optional[Tuple[int, int]] = None,
                  max_queue: int = 32, timeout_s: float = 30.0,
                  max_batch: int = 1, batch_window_ms: float = 2.0):
-        self.pipe = pipeline
-        hw = input_hw or tuple(pipeline.spec.input_hw)
-        self.input_hw = (int(hw[0]), int(hw[1]))
+        if isinstance(pipeline, dict):
+            if not pipeline:
+                raise ValueError("need at least one pipeline to serve")
+            self.pipes: Dict[str, Any] = {
+                str(k): v for k, v in pipeline.items()
+            }
+        else:
+            self.pipes = {
+                getattr(pipeline.spec, "model", "") or "default": pipeline
+            }
+        self.default_model = next(iter(self.pipes))
+        self.pipe = self.pipes[self.default_model]  # default / back-compat
+        self.hw_by: Dict[str, Tuple[int, int]] = {}
+        for name, p in self.pipes.items():
+            hw = (input_hw if (p is self.pipe and input_hw)
+                  else tuple(p.spec.input_hw))
+            self.hw_by[name] = (int(hw[0]), int(hw[1]))
+        self.input_hw = self.hw_by[self.default_model]
         self.timeout_s = timeout_s
         # dynamic batching: the worker drains up to max_batch queued jobs
         # (waiting batch_window_ms for stragglers) and serves them as ONE
@@ -88,6 +117,7 @@ class DepthServer:
         self.started = time.time()
         self.requests = 0
         self.errors = 0
+        self.requests_by_model = {name: 0 for name in self.pipes}
         self.batches = 0
         self.batched_jobs = 0
         self.lat_ms: list = []  # device-side latency, rolling
@@ -97,26 +127,28 @@ class DepthServer:
 
     # -- device worker ----------------------------------------------------
     def warmup(self) -> float:
-        """Compile + run once so the first request isn't a multi-minute
-        engine build. Returns seconds spent."""
+        """Compile + run every served model once so the first request isn't
+        a multi-minute engine build. Returns seconds spent."""
         t0 = time.time()
-        h, w = self.input_hw
-        # both single-frame engines: npz responses serve viz=False, jpg
-        # responses viz=True — either would otherwise compile on the first
-        # live request (minutes on a cold cache)
-        self.pipe(np.zeros((h, w, 3), np.uint8), viz=True)
-        self.pipe(np.zeros((h, w, 3), np.uint8), viz=False)
-        if self.max_batch > 1:
-            # largest bucket in BOTH viz modes (a batch serves viz=True iff
-            # any job wants jpg); intermediate buckets compile lazily
-            frames = np.zeros((self.max_batch, h, w, 3), np.uint8)
-            self.pipe.batch_call(frames, viz=False)
-            self.pipe.batch_call(frames, viz=True)
+        for name, pipe in self.pipes.items():
+            h, w = self.hw_by[name]
+            # both single-frame engines: npz responses serve viz=False, jpg
+            # responses viz=True — either would otherwise compile on the
+            # first live request (minutes on a cold cache)
+            pipe(np.zeros((h, w, 3), np.uint8), viz=True)
+            pipe(np.zeros((h, w, 3), np.uint8), viz=False)
+            if self.max_batch > 1:
+                # largest bucket in BOTH viz modes (a batch serves viz=True
+                # iff any job wants jpg); intermediate buckets compile lazily
+                frames = np.zeros((self.max_batch, h, w, 3), np.uint8)
+                pipe.batch_call(frames, viz=False)
+                pipe.batch_call(frames, viz=True)
+            log(f"server warmup: engine ready "
+                f"({pipe.spec.artifact_name()} @ {h}x{w}"
+                + (f", max_batch={self.max_batch}"
+                   if self.max_batch > 1 else "") + ")")
         dt = time.time() - t0
-        log(f"server warmup: engine ready in {dt:.1f}s "
-            f"({self.pipe.spec.artifact_name()} @ {h}x{w}"
-            + (f", max_batch={self.max_batch}" if self.max_batch > 1 else "")
-            + ")")
+        log(f"server warmup: {len(self.pipes)} engine(s) in {dt:.1f}s")
         return dt
 
     def _collect(self, first: _Job) -> list:
@@ -135,10 +167,10 @@ class DepthServer:
                 break
         return batch
 
-    def _serve_batch(self, jobs: list) -> None:
-        """One padded device launch for several jobs. Batch sizes bucket to
-        powers of two so at most log2(max_batch)+1 programs ever compile
-        (static shapes — no per-request recompiles)."""
+    def _serve_batch(self, pipe, jobs: list) -> None:
+        """One padded device launch for several same-model jobs. Batch sizes
+        bucket to powers of two so at most log2(max_batch)+1 programs ever
+        compile (static shapes — no per-request recompiles)."""
         frames = np.stack([j.frame for j in jobs])
         bucket = 1
         while bucket < len(jobs):
@@ -146,9 +178,38 @@ class DepthServer:
         if bucket > len(jobs):  # pad with the last frame (rows discarded)
             pad = np.repeat(frames[-1:], bucket - len(jobs), axis=0)
             frames = np.concatenate([frames, pad], axis=0)
-        out = self.pipe.batch_call(frames, viz=any(j.viz for j in jobs))
+        out = pipe.batch_call(frames, viz=any(j.viz for j in jobs))
         for i, job in enumerate(jobs):
             job.result = {k: np.asarray(v)[i] for k, v in out.items()}
+
+    def _serve_group(self, name: str, jobs: list) -> None:
+        """One device launch (single or padded batch) for jobs that all
+        target model ``name``; records stats and resolves the jobs."""
+        pipe = self.pipes[name]
+        t0 = time.time()
+        try:
+            if len(jobs) == 1:
+                jobs[0].result = pipe(jobs[0].frame, viz=jobs[0].viz)
+            else:
+                self._serve_batch(pipe, jobs)
+        except Exception as e:  # surface as 500, keep serving
+            msg = f"{type(e).__name__}: {e}"
+            for j in jobs:
+                j.error = msg
+            with self._lock:
+                self.errors += len(jobs)
+        dt = (time.time() - t0) * 1e3
+        with self._lock:
+            self.requests += len(jobs)
+            self.requests_by_model[name] += len(jobs)
+            if len(jobs) > 1:
+                self.batches += 1
+                self.batched_jobs += len(jobs)
+            self.lat_ms.append(dt)
+            if len(self.lat_ms) > 1000:
+                self.lat_ms = self.lat_ms[-1000:]
+        for j in jobs:
+            j.done.set()
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -157,29 +218,14 @@ class DepthServer:
             except queue.Empty:
                 continue
             jobs = (self._collect(job) if self.max_batch > 1 else [job])
-            t0 = time.time()
-            try:
-                if len(jobs) == 1:
-                    job.result = self.pipe(job.frame, viz=job.viz)
-                else:
-                    self._serve_batch(jobs)
-            except Exception as e:  # surface as 500, keep serving
-                msg = f"{type(e).__name__}: {e}"
-                for j in jobs:
-                    j.error = msg
-                with self._lock:
-                    self.errors += len(jobs)
-            dt = (time.time() - t0) * 1e3
-            with self._lock:
-                self.requests += len(jobs)
-                if len(jobs) > 1:
-                    self.batches += 1
-                    self.batched_jobs += len(jobs)
-                self.lat_ms.append(dt)
-                if len(self.lat_ms) > 1000:
-                    self.lat_ms = self.lat_ms[-1000:]
+            # group per model: the chip still sees one launch at a time,
+            # but a mixed drain must not stack frames of different models
+            # (or input sizes) into one batch
+            groups: Dict[str, list] = {}
             for j in jobs:
-                j.done.set()
+                groups.setdefault(j.model, []).append(j)
+            for name, group in groups.items():
+                self._serve_group(name, group)
 
     def start(self) -> "DepthServer":
         self._worker.start()
@@ -191,13 +237,17 @@ class DepthServer:
             self._worker.join(timeout=2.0)
 
     # -- request path -----------------------------------------------------
-    def submit(self, frame: np.ndarray, viz: bool) -> _Job:
+    def submit(self, frame: np.ndarray, viz: bool,
+               model: Optional[str] = None) -> _Job:
         import cv2
 
-        h, w = self.input_hw
+        name = model or self.default_model
+        if name not in self.pipes:
+            raise KeyError(name)  # -> 404 upstream
+        h, w = self.hw_by[name]
         if frame.shape[:2] != (h, w):
             frame = cv2.resize(frame, (w, h), interpolation=cv2.INTER_AREA)
-        job = _Job(frame, viz)
+        job = _Job(frame, viz, name)
         self.jobs.put_nowait(job)  # queue.Full -> 503 upstream
         return job
 
@@ -206,7 +256,10 @@ class DepthServer:
             lat = list(self.lat_ms)
             n, e = self.requests, self.errors
             nb, bj = self.batches, self.batched_jobs
+            by_model = dict(self.requests_by_model)
         out = {"requests": n, "errors": e, "queue_depth": self.jobs.qsize()}
+        if len(self.pipes) > 1:
+            out["requests_by_model"] = by_model
         if self.max_batch > 1:
             out["max_batch"] = self.max_batch
             out["batches"] = nb
@@ -243,11 +296,28 @@ class DepthServer:
         return "\n".join(lines) + "\n"
 
     def health(self) -> Dict[str, Any]:
-        return {
+        out = {
             "status": "ok",
             "model": self.pipe.spec.artifact_name(),
             "input_hw": list(self.input_hw),
             "uptime_s": round(time.time() - self.started, 1),
+        }
+        if len(self.pipes) > 1:
+            out["models"] = list(self.pipes)
+        return out
+
+    def models(self) -> Dict[str, Any]:
+        """GET /v1/models payload: what this server hosts and how to
+        address each entry (`POST /v1/models/<name>/depth`)."""
+        return {
+            "default": self.default_model,
+            "models": {
+                name: {
+                    "artifact": p.spec.artifact_name(),
+                    "input_hw": list(self.hw_by[name]),
+                }
+                for name, p in self.pipes.items()
+            },
         }
 
 
@@ -296,6 +366,8 @@ def make_handler(server: DepthServer):
                 return self._json(200, server.health())
             if path == "/v1/stats":
                 return self._json(200, server.stats())
+            if path == "/v1/models":
+                return self._json(200, server.models())
             if path == "/metrics":  # Prometheus scrape endpoint
                 return self._send(200, server.metrics_text().encode(),
                                   "text/plain; version=0.0.4")
@@ -305,13 +377,20 @@ def make_handler(server: DepthServer):
             import cv2
 
             url = urlparse(self.path)
-            if url.path != "/v1/depth":
+            qs = parse_qs(url.query)
+            model = None
+            if (url.path.startswith("/v1/models/")
+                    and url.path.endswith("/depth")):
+                model = url.path[len("/v1/models/"):-len("/depth")]
+            elif url.path == "/v1/depth":
+                model = qs.get("model", [None])[0]
+            else:
                 # drain the request body first: with HTTP/1.1 keep-alive an
                 # unread body would be parsed as the start of the NEXT
                 # request on this connection
                 self._drain_body()
                 return self._json(404, {"error": f"unknown path {url.path}"})
-            fmt = parse_qs(url.query).get("format", ["npz"])[0]
+            fmt = qs.get("format", ["npz"])[0]
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(length)
@@ -324,7 +403,12 @@ def make_handler(server: DepthServer):
                 return self._json(400, {"error": str(e)})
 
             try:
-                job = server.submit(frame, viz=(fmt == "jpg"))
+                job = server.submit(frame, viz=(fmt == "jpg"), model=model)
+            except KeyError:
+                return self._json(404, {
+                    "error": f"unknown model {model!r}",
+                    "models": list(server.pipes),
+                })
             except queue.Full:
                 return self._json(503, {"error": "queue full", **server.stats()})
             if not job.done.wait(server.timeout_s):
@@ -351,15 +435,21 @@ def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
           input_hw: Optional[Tuple[int, int]] = None,
           max_queue: int = 32, warmup: bool = True,
           max_batch: int = 1, batch_window_ms: float = 2.0) -> None:
-    """Blocking entry point for ``mdet serve``."""
+    """Blocking entry point for ``mdet serve``. ``pipeline`` may be one
+    pipeline or an ordered ``{name: pipeline}`` dict (multi-model)."""
     ds = DepthServer(pipeline, input_hw=input_hw, max_queue=max_queue,
                      max_batch=max_batch, batch_window_ms=batch_window_ms)
     if warmup:
         ds.warmup()
     ds.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ds))
-    log(f"serving {ds.pipe.spec.artifact_name()} on http://{host}:{port} "
-        f"(POST /v1/depth)")
+    if len(ds.pipes) > 1:
+        log(f"serving {len(ds.pipes)} models on http://{host}:{port} — "
+            f"default {ds.default_model!r} at POST /v1/depth, all at "
+            f"POST /v1/models/<name>/depth: {', '.join(ds.pipes)}")
+    else:
+        log(f"serving {ds.pipe.spec.artifact_name()} on http://{host}:{port} "
+            f"(POST /v1/depth)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -870,30 +870,53 @@ def cmd_slam(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """HTTP model serving (``apps/server.py``): one compiled engine, one
-    device-worker thread, bounded queue. Beyond the reference's local
-    viewers — its closest surface is the webcam app
-    (``Depth_Pro/onnx2trt_webcam.py``)."""
+    """HTTP model serving (``apps/server.py``): compiled engine(s) behind
+    ONE device-worker thread and a bounded queue; repeated ``--engine``
+    flags host several models in one server (POST /v1/models/<name>/depth).
+    Beyond the reference's local viewers — its closest surface is the
+    webcam app (``Depth_Pro/onnx2trt_webcam.py``)."""
     from monocular_depth_estimation_trt_tpu.apps.server import serve
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
 
-    if getattr(args, "engine", ""):
-        # serve straight from a serialized artifact: the deployment box
-        # needs the .mdeteng file only (export with --serve-bundle so the
-        # batch buckets + viz variants exist; weights are stored once)
-        from monocular_depth_estimation_trt_tpu.runtime.export import (
-            load_engine,
-        )
-
-        pipe = load_engine(args.engine)
-        log(f"serving from artifact: {pipe.describe()}")
+    engines = getattr(args, "engine", None) or []
+    if isinstance(engines, str):  # tolerate a plain string (Python API use)
+        engines = [engines]
+    if engines:
+        # serve straight from serialized artifacts: the deployment box
+        # needs the .mdeteng files only (export with --serve-bundle so the
+        # batch buckets + viz variants exist; weights are stored once).
+        # Several --engine flags host several models behind ONE server /
+        # ONE device-worker thread (POST /v1/models/<name>/depth).
+        loaded = []
+        for p in engines:
+            eng = _load_artifact(p, surface="serve", need_images=(1,))
+            if eng is None:  # e.g. a 2-image flow artifact
+                return 2
+            loaded.append(eng)
+        fams = [p.spec.model for p in loaded]
+        pipes = {}
+        for p, fam in zip(loaded, fams):
+            # route by family name when unique, full artifact name otherwise
+            # (e.g. serving vits AND vitl of one family)
+            key = fam if fams.count(fam) == 1 else p.spec.artifact_name()
+            if key in pipes:
+                log(f"serve: duplicate model {key!r} (same config exported "
+                    f"twice?)", tag="ERROR")
+                return 2
+            pipes[key] = p
+            log(f"serving from artifact: {p.describe()}")
         mb = args.max_batch
-        if mb > max(pipe.batches):
-            log(f"--max-batch {mb} exceeds the artifact's largest exported "
-                f"bucket {max(pipe.batches)}; clamping", tag="WARN")
-            mb = max(pipe.batches)
-        serve(pipe, host=args.host, port=args.port,
-              input_hw=tuple(pipe.spec.input_hw), max_queue=args.max_queue,
+        smallest_top = min(max(p.batches) for p in loaded)
+        if mb > smallest_top:
+            log(f"--max-batch {mb} exceeds the smallest largest-exported "
+                f"bucket {smallest_top} across the artifacts; clamping",
+                tag="WARN")
+            mb = smallest_top
+        one = loaded[0] if len(loaded) == 1 else None
+        serve(one if one is not None else pipes,
+              host=args.host, port=args.port,
+              input_hw=tuple(one.spec.input_hw) if one is not None else None,
+              max_queue=args.max_queue,
               max_batch=mb, batch_window_ms=args.batch_window_ms)
         return 0
 
@@ -1530,10 +1553,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve.add_argument("model", nargs="?", default="")
     serve.add_argument("--encoder", default="")
     serve.add_argument("--checkpoint", default="")
-    serve.add_argument("--engine", default="",
+    serve.add_argument("--engine", action="append", default=[],
                        help="serve from a serialized .mdeteng artifact "
                        "(`mdet export --serve-bundle N`) — no model zoo "
-                       "or checkpoints needed")
+                       "or checkpoints needed; repeat the flag to host "
+                       "several models behind one server "
+                       "(POST /v1/models/<name>/depth)")
     _add_precision_args(serve)
     serve.add_argument("--host", default="0.0.0.0")
     serve.add_argument("--port", type=int, default=8000)

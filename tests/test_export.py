@@ -772,3 +772,41 @@ def test_http_server_from_artifact(tmp_path, monkeypatch):
         assert ds.health()["model"].startswith("toy_export")
     finally:
         ds.stop()
+
+
+def test_cli_serve_multi_engine_branch(tmp_path, monkeypatch):
+    """`mdet serve --engine a --engine b`: the CLI loads every artifact,
+    keys them by family name, clamps --max-batch to the smallest largest
+    exported bucket, and hands ONE ordered dict to serve()."""
+    import dataclasses
+
+    from monocular_depth_estimation_trt_tpu import cli
+
+    pa = _toy_pipeline()
+    pb = _toy_pipeline()
+    pb.spec = dataclasses.replace(pb.spec, model="toy_export_b")
+    path_a = export_pipeline(pa, (16, 16), with_viz="both", batches=(1, 2, 4),
+                             path=str(tmp_path / "a.mdeteng"))
+    path_b = export_pipeline(pb, (16, 16), with_viz="both", batches=(1, 2),
+                             path=str(tmp_path / "b.mdeteng"))
+
+    captured = {}
+
+    def fake_serve(pipeline, **kw):
+        captured["pipeline"] = pipeline
+        captured.update(kw)
+
+    monkeypatch.setattr(
+        "monocular_depth_estimation_trt_tpu.apps.server.serve", fake_serve)
+    rc = cli.main(["serve", "--engine", path_a, "--engine", path_b,
+                   "--max-batch", "4", "--port", "0"])
+    assert rc == 0
+    pipes = captured["pipeline"]
+    assert list(pipes) == ["toy_export", "toy_export_b"]
+    # clamped to b's largest bucket (2), not a's (4)
+    assert captured["max_batch"] == 2
+
+    # duplicate family -> full artifact names disambiguate
+    rc = cli.main(["serve", "--engine", path_a, "--engine", path_a,
+                   "--port", "0"])
+    assert rc == 2  # same artifact twice IS an operator error

