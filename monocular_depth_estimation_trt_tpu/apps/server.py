@@ -112,6 +112,23 @@ class DepthServer:
         if self.max_batch != mb:
             log(f"server: --max-batch {mb} rounded down to "
                 f"{self.max_batch} (power-of-two buckets)")
+        # per-model batch cap: a serialized artifact only carries the batch
+        # buckets it was exported with (LoadedEngine.batches) — clamp THAT
+        # model to its largest bucket instead of dragging every co-served
+        # model down to the smallest artifact (e.g. a b8 vits bundle served
+        # next to a b1 depth_pro artifact still batches vits at 8)
+        self.max_batch_by: Dict[str, int] = {}
+        for name, p in self.pipes.items():
+            cap = self.max_batch
+            buckets = getattr(p, "batches", None)
+            if buckets:
+                top = max(int(b) for b in buckets)
+                top = 1 << (top.bit_length() - 1)  # guard non-pow2 exports
+                if top < cap:
+                    log(f"server: model {name!r} capped at batch {top} "
+                        f"(artifact's largest exported bucket)")
+                    cap = top
+            self.max_batch_by[name] = cap
         self.batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.started = time.time()
@@ -137,16 +154,16 @@ class DepthServer:
             # first live request (minutes on a cold cache)
             pipe(np.zeros((h, w, 3), np.uint8), viz=True)
             pipe(np.zeros((h, w, 3), np.uint8), viz=False)
-            if self.max_batch > 1:
+            cap = self.max_batch_by[name]
+            if cap > 1:
                 # largest bucket in BOTH viz modes (a batch serves viz=True
                 # iff any job wants jpg); intermediate buckets compile lazily
-                frames = np.zeros((self.max_batch, h, w, 3), np.uint8)
+                frames = np.zeros((cap, h, w, 3), np.uint8)
                 pipe.batch_call(frames, viz=False)
                 pipe.batch_call(frames, viz=True)
             log(f"server warmup: engine ready "
                 f"({pipe.spec.artifact_name()} @ {h}x{w}"
-                + (f", max_batch={self.max_batch}"
-                   if self.max_batch > 1 else "") + ")")
+                + (f", max_batch={cap}" if cap > 1 else "") + ")")
         dt = time.time() - t0
         log(f"server warmup: {len(self.pipes)} engine(s) in {dt:.1f}s")
         return dt
@@ -225,7 +242,11 @@ class DepthServer:
             for j in jobs:
                 groups.setdefault(j.model, []).append(j)
             for name, group in groups.items():
-                self._serve_group(name, group)
+                # honor the model's own cap (a b1-only artifact co-served
+                # with a b8 bundle): chunk, never exceed an exported bucket
+                cap = self.max_batch_by[name]
+                for i in range(0, len(group), cap):
+                    self._serve_group(name, group[i:i + cap])
 
     def start(self) -> "DepthServer":
         self._worker.start()
@@ -315,6 +336,8 @@ class DepthServer:
                 name: {
                     "artifact": p.spec.artifact_name(),
                     "input_hw": list(self.hw_by[name]),
+                    **({"max_batch": self.max_batch_by[name]}
+                       if self.max_batch > 1 else {}),
                 }
                 for name, p in self.pipes.items()
             },

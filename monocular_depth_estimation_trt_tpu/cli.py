@@ -906,12 +906,13 @@ def cmd_serve(args) -> int:
             pipes[key] = p
             log(f"serving from artifact: {p.describe()}")
         mb = args.max_batch
-        smallest_top = min(max(p.batches) for p in loaded)
-        if mb > smallest_top:
-            log(f"--max-batch {mb} exceeds the smallest largest-exported "
-                f"bucket {smallest_top} across the artifacts; clamping",
-                tag="WARN")
-            mb = smallest_top
+        largest_top = max(max(p.batches) for p in loaded)
+        if mb > largest_top:
+            log(f"--max-batch {mb} exceeds every artifact's largest "
+                f"exported bucket ({largest_top}); clamping", tag="WARN")
+            mb = largest_top
+        # models whose artifact exports smaller buckets are capped
+        # individually by the server (DepthServer.max_batch_by)
         one = loaded[0] if len(loaded) == 1 else None
         serve(one if one is not None else pipes,
               host=args.host, port=args.port,

@@ -781,6 +781,7 @@ def test_cli_serve_multi_engine_branch(tmp_path, monkeypatch):
     import dataclasses
 
     from monocular_depth_estimation_trt_tpu import cli
+    from monocular_depth_estimation_trt_tpu.apps.server import DepthServer
 
     pa = _toy_pipeline()
     pb = _toy_pipeline()
@@ -799,12 +800,15 @@ def test_cli_serve_multi_engine_branch(tmp_path, monkeypatch):
     monkeypatch.setattr(
         "monocular_depth_estimation_trt_tpu.apps.server.serve", fake_serve)
     rc = cli.main(["serve", "--engine", path_a, "--engine", path_b,
-                   "--max-batch", "4", "--port", "0"])
+                   "--max-batch", "8", "--port", "0"])
     assert rc == 0
     pipes = captured["pipeline"]
     assert list(pipes) == ["toy_export", "toy_export_b"]
-    # clamped to b's largest bucket (2), not a's (4)
-    assert captured["max_batch"] == 2
+    # clamped to the LARGEST top bucket across artifacts (a's 4) — b is
+    # capped at its own 2 by DepthServer.max_batch_by, not globally
+    assert captured["max_batch"] == 4
+    ds = DepthServer(pipes, max_batch=captured["max_batch"])
+    assert ds.max_batch_by == {"toy_export": 4, "toy_export_b": 2}
 
     # duplicate family -> full artifact names disambiguate
     rc = cli.main(["serve", "--engine", path_a, "--engine", path_a,

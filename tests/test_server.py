@@ -414,3 +414,43 @@ def test_cli_serve_multi_engine_parser():
         ["serve", "--engine", "a.mdeteng", "--engine", "b.mdeteng"])
     assert a.engine == ["a.mdeteng", "b.mdeteng"]
     assert build_parser().parse_args(["serve", "x"]).engine == []
+
+
+def test_per_model_batch_cap(server_factory):
+    """A b1-only artifact co-served with a b4 bundle must not drag the
+    bundle down to batch 1: the capped model is chunked to single
+    launches while the other still batches (DepthServer.max_batch_by)."""
+    a, b = FakeBatchPipeline(), FakeBatchPipeline()
+    a.spec = ModelSpec(model="alpha", input_hw=(32, 48), precision="fp32")
+    b.spec = ModelSpec(model="beta", input_hw=(24, 24), precision="fp32")
+    b.batches = (1,)  # what a b1-only LoadedEngine exposes
+    base, ds = server_factory({"alpha": a, "beta": b}, max_batch=4,
+                              batch_window_ms=300.0)
+    assert ds.max_batch_by == {"alpha": 4, "beta": 1}
+
+    results = {}
+
+    def fire(i, name):
+        url = f"{base}/v1/models/{name}/depth"
+        results[(i, name)] = np.load(io.BytesIO(
+            _post(url, _png_bytes(seed=i), timeout=30).read()))
+
+    threads = [threading.Thread(target=fire, args=(i, nm))
+               for i in range(3) for nm in ("alpha", "beta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for (i, name), data in results.items():
+        expect = (32, 48) if name == "alpha" else (24, 24)
+        assert data["depth"].shape == expect, (i, name)
+    # alpha may batch (pow-2 buckets only); beta must NEVER see a batch
+    # launch — its 3 jobs are chunked into single __call__s
+    assert all(s in (1, 2, 4) for s in a.batch_sizes), a.batch_sizes
+    assert b.batch_sizes == []
+    assert b.calls == 3
+    listing = json.load(
+        urllib.request.urlopen(f"{base}/v1/models", timeout=10))
+    assert listing["models"]["alpha"]["max_batch"] == 4
+    assert listing["models"]["beta"]["max_batch"] == 1
