@@ -1143,27 +1143,43 @@ def cmd_eval(args) -> int:
     # cmd_convert).
     jax.config.update("jax_platforms", "cpu")
 
-    def load_many(path, key):
+    exts = (".npz", ".npy", ".png", ".pgm", ".tif", ".tiff")
+
+    def load_many(path, key, scale=0.0):
         if os.path.isdir(path):
             files = sorted(
-                f for f in os.listdir(path) if f.endswith(".npz") or
-                f.endswith(".npy")
+                f for f in os.listdir(path) if f.lower().endswith(exts)
             )
-            return {os.path.splitext(f)[0]: _load_arr(os.path.join(path, f), key)
+            return {os.path.splitext(f)[0]:
+                    _load_arr(os.path.join(path, f), key, scale)
                     for f in files}
         return {os.path.splitext(os.path.basename(path))[0]:
-                _load_arr(path, key)}
+                _load_arr(path, key, scale)}
 
-    def _load_arr(p, key):
+    def _load_arr(p, key, scale=0.0):
         if p.endswith(".npy"):
-            return np.load(p)
-        z = np.load(p)
-        if key in z:
-            return z[key]
-        return z[list(z.files)[0]]
+            arr = np.load(p)
+        elif p.endswith(".npz"):
+            z = np.load(p)
+            arr = z[key] if key in z else z[list(z.files)[0]]
+        else:
+            # dataset ground truth commonly ships as 16-bit PNG/TIFF
+            # (KITTI: uint16 = meters*256; 0 = no reading). --gt-scale
+            # overrides; the uint16 default follows the KITTI convention.
+            import cv2
+
+            arr = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+            if arr is None:
+                raise IOError(f"unreadable depth image {p}")
+            if arr.ndim == 3:
+                arr = arr[..., 0]
+            if arr.dtype == np.uint16 and scale == 0.0:
+                scale = 256.0
+        arr = np.squeeze(np.asarray(arr)).astype(np.float32)
+        return arr / scale if scale else arr
 
     preds = load_many(args.pred, args.key)
-    gts = load_many(args.gt, args.key)
+    gts = load_many(args.gt, args.key, scale=args.gt_scale)
     if len(preds) == 1 and len(gts) == 1:
         pairs = [(next(iter(preds.values())), next(iter(gts.values())))]
     else:
@@ -1181,12 +1197,30 @@ def cmd_eval(args) -> int:
     sums: dict = {}
     for pred, gt in pairs:
         pred, gt = np.asarray(pred), np.asarray(gt)
+        if not args.flow and pred.shape != gt.shape and pred.ndim == 2:
+            # score at GT resolution (the benchmark protocol): nearest-
+            # neighbor so no depth values are invented at boundaries
+            yi = np.minimum((np.arange(gt.shape[0]) + 0.5)
+                            * pred.shape[0] // gt.shape[0],
+                            pred.shape[0] - 1).astype(np.int64)
+            xi = np.minimum((np.arange(gt.shape[1]) + 0.5)
+                            * pred.shape[1] // gt.shape[1],
+                            pred.shape[1] - 1).astype(np.int64)
+            pred = pred[yi][:, xi]
         if pred.ndim == 2:
             pred, gt = pred[None], gt[None]
         if args.flow:
             m = flow_metrics(pred, gt)
         else:
-            m = depth_metrics(pred, gt, align=args.align)
+            # Eigen-protocol valid range: gt>0 is always enforced by
+            # depth_metrics; the caps bound the scored range (KITTI: 80 m)
+            mask = None
+            if args.min_depth > 0 or args.max_depth > 0:
+                mask = np.isfinite(gt) & (gt > args.min_depth)
+                if args.max_depth > 0:
+                    mask &= gt <= args.max_depth
+                mask = mask.astype(np.float32)
+            m = depth_metrics(pred, gt, mask, align=args.align)
         for k, v in m.items():
             sums[k] = sums.get(k, 0.0) + float(v)
     out = {k: round(v / len(pairs), 5) for k, v in sums.items()}
@@ -1632,6 +1666,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "depth protocols)")
     ev.add_argument("--flow", action="store_true",
                     help="score (H,W,2) flow fields with EPE/n-px instead")
+    ev.add_argument("--gt-scale", type=float, default=0.0,
+                    help="divide image-file ground truth by this (16-bit "
+                    "PNG/TIFF GT; default 256 for uint16 — the KITTI "
+                    "meters*256 convention)")
+    ev.add_argument("--min-depth", type=float, default=0.0,
+                    help="ignore GT below this depth (Eigen protocol)")
+    ev.add_argument("--max-depth", type=float, default=0.0,
+                    help="ignore GT beyond this depth (e.g. 80 for KITTI)")
     ev.set_defaults(fn=cmd_eval)
 
     qc = sub.add_parser(

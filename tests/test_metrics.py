@@ -103,3 +103,60 @@ def test_cli_eval_files_and_dirs(tmp_path, capsys, rng):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["abs_rel"] > 0.5  # unaligned
+
+
+def test_cli_eval_png_gt_caps_and_resolution(tmp_path, capsys, rng):
+    """Real-dataset shape: GT as KITTI-style uint16 PNG (meters*256, holes
+    as 0), prediction npz at model resolution != GT resolution, scored at
+    GT resolution within [min_depth, max_depth]."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu import cli
+
+    # smooth ramp (real depth is spatially coherent; a nearest round trip
+    # through half resolution stays close)
+    yy, xx = np.mgrid[0:24, 0:32].astype(np.float32)
+    gt = 0.5 + 2.0 * yy / 24 + 1.5 * xx / 32
+    # prediction taken from the CLEAN ramp at half resolution...
+    pred = gt[::2, ::2].copy()
+    np.savez(tmp_path / "im0.npz", depth=pred)
+    # ...then the stored GT gains sensor holes and far outliers the
+    # prediction knows nothing about
+    gt[:4] = 0.0          # holes -> invalid (gt<=min_depth)
+    gt[-2:] = 100.0       # beyond the cap -> must be ignored
+    gt_png = (gt * 256.0).astype(np.uint16)
+    cv2.imwrite(str(tmp_path / "im0.png"), gt_png)
+
+    rc = cli.main(["eval", "--pred", str(tmp_path / "im0.npz"),
+                   "--gt", str(tmp_path / "im0.png"),
+                   "--min-depth", "0.001", "--max-depth", "80"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_images"] == 1
+    assert out["abs_rel"] < 0.2        # nearest up/down round trip
+    assert out["delta1"] > 0.8
+
+    # without the cap the 100 m rows (pred says ~gt values there) would
+    # tank abs_rel; with it they are excluded, so the capped run is better
+    rc = cli.main(["eval", "--pred", str(tmp_path / "im0.npz"),
+                   "--gt", str(tmp_path / "im0.png")])
+    assert rc == 0
+    uncapped = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert uncapped["abs_rel"] > out["abs_rel"]
+
+
+def test_cli_eval_gt_scale_flag(tmp_path, capsys, rng):
+    """--gt-scale overrides the uint16/256 default (e.g. NYU's 1000)."""
+    import cv2
+
+    from monocular_depth_estimation_trt_tpu import cli
+
+    gt = np.abs(rng.standard_normal((8, 8)).astype(np.float32)) + 1.0
+    cv2.imwrite(str(tmp_path / "x.png"),
+                (gt * 1000.0).astype(np.uint16))
+    np.savez(tmp_path / "x.npz", depth=gt)
+    rc = cli.main(["eval", "--pred", str(tmp_path / "x.npz"),
+                   "--gt", str(tmp_path / "x.png"), "--gt-scale", "1000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["abs_rel"] < 1e-3
