@@ -401,6 +401,20 @@ def cmd_batch(args) -> int:
     return 0
 
 
+def _maybe_trace(args):
+    """``--trace DIR``: capture a jax.profiler device trace around the
+    timed loop (the TRT ``ProfilingVerbosity.DETAILED`` role,
+    ``Depth_Anything_V2/onnx2trt.py:40``) — otherwise a no-op context."""
+    import contextlib
+
+    logdir = getattr(args, "trace", "")
+    if not logdir:
+        return contextlib.nullcontext()
+    from monocular_depth_estimation_trt_tpu.runtime import profiler
+
+    return profiler.trace(logdir)
+
+
 def cmd_bench(args) -> int:
     from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
@@ -426,10 +440,11 @@ def cmd_bench(args) -> int:
         log(f"benchmarking artifact: {eng.describe()}")
         cfg = BenchmarkConfig(warmup=args.warmup,
                               iterations=args.iterations)
-        if getattr(args, "views", 0) and args.views > 1:
-            eng.benchmark_views(args.views, cfg).print()
-        else:
-            eng.benchmark(config=cfg).print()
+        with _maybe_trace(args):
+            if getattr(args, "views", 0) and args.views > 1:
+                eng.benchmark_views(args.views, cfg).print()
+            else:
+                eng.benchmark(config=cfg).print()
         return 0
 
     if not args.model:
@@ -442,14 +457,15 @@ def cmd_bench(args) -> int:
     pipe = build_pipeline(args.model, **kw)
     pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
     cfg = BenchmarkConfig(warmup=args.warmup, iterations=args.iterations)
-    if getattr(args, "views", 0) and args.views > 1:
-        if not hasattr(pipe, "benchmark_views"):
-            log(f"{args.model} has no multi-view protocol", tag="ERROR")
-            return 2
-        report = pipe.benchmark_views(args.views, cfg)
-    else:
-        size = args.size or 518
-        report = pipe.benchmark((size, size), cfg)
+    with _maybe_trace(args):
+        if getattr(args, "views", 0) and args.views > 1:
+            if not hasattr(pipe, "benchmark_views"):
+                log(f"{args.model} has no multi-view protocol", tag="ERROR")
+                return 2
+            report = pipe.benchmark_views(args.views, cfg)
+        else:
+            size = args.size or 518
+            report = pipe.benchmark((size, size), cfg)
     report.print()
     return 0
 
@@ -1446,6 +1462,11 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--views", type=int, default=0,
                        help="multi-view S axis (VGGT-family): benchmark the "
                        "S-view joint program, per-frame FPS")
+    bench.add_argument("--trace", default="",
+                       help="also capture a jax.profiler device trace of "
+                       "the timed loop into this directory (open with "
+                       "TensorBoard/Perfetto) — the TRT DETAILED-"
+                       "profiling-verbosity equivalent")
     bench.set_defaults(fn=cmd_bench)
 
     for sp in (run, bench):

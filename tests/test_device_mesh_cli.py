@@ -92,3 +92,18 @@ def test_cli_device_mesh_malformed_errors(monkeypatch):
                         lambda name, **kw: _tp_pipeline())
     with pytest.raises(SystemExit, match="bad --device-mesh"):
         cli.main(["bench", "toy", "--device-mesh", "banana"])
+
+
+def test_cli_bench_trace_writes_profile(monkeypatch, tmp_path):
+    """`mdet bench --trace DIR` wraps the timed loop in a jax.profiler
+    device trace (the TRT DETAILED-profiling role)."""
+    import os
+
+    monkeypatch.setattr(registry, "build_pipeline",
+                        lambda name, **kw: _tp_pipeline())
+    logdir = str(tmp_path / "trace")
+    rc = cli.main(["bench", "toy", "--size", "8", "--warmup", "1",
+                   "--iterations", "2", "--trace", logdir])
+    assert rc == 0
+    found = [os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs]
+    assert found, "trace directory is empty"
