@@ -39,4 +39,26 @@ timeout 2400 python -m monocular_depth_estimation_trt_tpu run \
 timeout 2400 python -m monocular_depth_estimation_trt_tpu bench \
     --engine /tmp/da_vits_hw.mdeteng --iterations 50 2>&1 | tee -a /tmp/hw_export.log
 
+# 5. HTTP serving load test on the real chip: dynamic batching evidence
+#    (--max-batch 1 vs 8 under 8 concurrent clients; small pre-resized
+#    image so the 1-core host isn't the bottleneck)
+python - <<'PYEOF'
+import cv2
+img = cv2.imread("data/example.jpg")
+cv2.imwrite("/tmp/loadtest_518.jpg", cv2.resize(img, (518, 518)))
+PYEOF
+for MB in 1 8; do
+  timeout 1800 python -m monocular_depth_estimation_trt_tpu \
+      serve depth_anything_v2 --encoder vits --allow-random-weights \
+      --port 8311 --max-batch $MB > /tmp/hw_serve_$MB.log 2>&1 &
+  echo $! > /tmp/hw_serve.pid
+  sleep 5
+  timeout 900 python scripts/load_test.py --url http://127.0.0.1:8311 \
+      --image /tmp/loadtest_518.jpg --clients 8 --seconds 30 \
+      2>&1 | tee /tmp/hw_loadtest_mb$MB.json
+  kill $(cat /tmp/hw_serve.pid) || true
+  sleep 3
+done
+
 echo "[hw_pending] done — update docs/QUANT.md + docs/PERF.md 'pending' notes"
+echo "[hw_pending] serve load-test rows: /tmp/hw_loadtest_mb1.json /tmp/hw_loadtest_mb8.json"
