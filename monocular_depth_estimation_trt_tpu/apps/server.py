@@ -262,7 +262,9 @@ class DepthServer:
                model: Optional[str] = None) -> _Job:
         import cv2
 
-        name = model or self.default_model
+        # '' (e.g. a "/v1/models//depth" URL) is an unknown model, not a
+        # request for the default — only absent selectors fall through.
+        name = self.default_model if model is None else model
         if name not in self.pipes:
             raise KeyError(name)  # -> 404 upstream
         h, w = self.hw_by[name]

@@ -928,11 +928,9 @@ def cmd_serve(args) -> int:
                 f"exported bucket ({largest_top}); clamping", tag="WARN")
             mb = largest_top
         # models whose artifact exports smaller buckets are capped
-        # individually by the server (DepthServer.max_batch_by)
-        one = loaded[0] if len(loaded) == 1 else None
-        serve(one if one is not None else pipes,
-              host=args.host, port=args.port,
-              input_hw=tuple(one.spec.input_hw) if one is not None else None,
+        # individually by the server (DepthServer.max_batch_by); a
+        # single-entry dict behaves identically to passing the pipeline
+        serve(pipes, host=args.host, port=args.port,
               max_queue=args.max_queue,
               max_batch=mb, batch_window_ms=args.batch_window_ms)
         return 0
@@ -1175,9 +1173,11 @@ def cmd_eval(args) -> int:
     def _load_arr(p, key, scale=0.0):
         if p.endswith(".npy"):
             arr = np.load(p)
+            scale = 0.0  # .npy/.npz GT is already metric; scale is image-only
         elif p.endswith(".npz"):
             z = np.load(p)
             arr = z[key] if key in z else z[list(z.files)[0]]
+            scale = 0.0
         else:
             # dataset ground truth commonly ships as 16-bit PNG/TIFF
             # (KITTI: uint16 = meters*256; 0 = no reading). --gt-scale
@@ -1390,6 +1390,16 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="permit deterministic random weights when no checkpoint is "
         "available (benchmark-only; outputs are not meaningful)",
+    )
+    p.add_argument(
+        "--device",
+        default=os.environ.get("MDET_DEVICE", "auto"),
+        choices=("auto", "cpu", "tpu", "axon"),
+        help="force the jax platform (default: env MDET_DEVICE or auto). "
+        "Use --device cpu to run/serve without an accelerator — the "
+        "axon TPU plugin ignores the JAX_PLATFORMS env var, so this flag "
+        "is the only reliable CPU override. --device tpu picks the local "
+        "chip if present, else the axon tunnel",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -1733,6 +1743,32 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "device", "auto") != "auto":
+        # must land before the backend initializes (first device/compile
+        # touch); the axon plugin ignores the JAX_PLATFORMS env var, so
+        # jax.config is the only override that works for it. The remote
+        # chip registers as platform "axon", a local one as "tpu" — map
+        # --device tpu to whichever plugin is actually registered (an
+        # explicit jax_platforms list hard-fails on unregistered names).
+        import jax
+
+        device = args.device
+        if device == "tpu":
+            import glob
+
+            try:
+                from jax._src import xla_bridge as _xb
+
+                have_axon = "axon" in _xb._backend_factories
+            except Exception:
+                have_axon = False
+            # a local chip exposes /dev/accel* (or vfio); without one the
+            # "tpu" factory fails at init, so route to the tunnel plugin
+            local_chip = bool(glob.glob("/dev/accel*")
+                              or glob.glob("/dev/vfio/*"))
+            if have_axon and not local_chip:
+                device = "axon"
+        jax.config.update("jax_platforms", device)
     if getattr(args, "allow_random_weights", False) or args.cmd in ("bench", "build"):
         # Benchmark/build paths measure FLOPs and layout, not numerics —
         # random weights are fine there (and loudly WARNed). Everything else

@@ -52,7 +52,15 @@ for MB in 1 8; do
       serve depth_anything_v2 --encoder vits --allow-random-weights \
       --port 8311 --max-batch $MB > /tmp/hw_serve_$MB.log 2>&1 &
   echo $! > /tmp/hw_serve.pid
-  sleep 5
+  # the port binds only AFTER warmup compiles (minutes on the tunnel even
+  # with a warm XLA cache) — poll /v1/health, bounded, before load-testing
+  for _ in $(seq 180); do
+    if curl -sf --max-time 5 http://127.0.0.1:8311/v1/health >/dev/null; then
+      break
+    fi
+    kill -0 $(cat /tmp/hw_serve.pid) || break  # server died: stop waiting
+    sleep 10
+  done
   timeout 900 python scripts/load_test.py --url http://127.0.0.1:8311 \
       --image /tmp/loadtest_518.jpg --clients 8 --seconds 30 \
       2>&1 | tee /tmp/hw_loadtest_mb$MB.json

@@ -65,3 +65,15 @@ def test_registry_covers_staged_model_dirs():
               "align3r", "sidepth"}
     missing = staged - models
     assert not missing, f"unregistered staged models: {missing}"
+
+
+def test_device_flag_parses_and_defaults_from_env(monkeypatch):
+    """--device forces the jax platform (the axon plugin ignores the
+    JAX_PLATFORMS env var, so the flag is the only reliable override)."""
+    from monocular_depth_estimation_trt_tpu.cli import build_parser
+
+    assert build_parser().parse_args(["models"]).device == "auto"
+    assert build_parser().parse_args(
+        ["--device", "cpu", "models"]).device == "cpu"
+    monkeypatch.setenv("MDET_DEVICE", "cpu")
+    assert build_parser().parse_args(["models"]).device == "cpu"

@@ -160,3 +160,17 @@ def test_cli_eval_gt_scale_flag(tmp_path, capsys, rng):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["abs_rel"] < 1e-3
+
+
+def test_cli_eval_gt_scale_is_image_only(tmp_path, capsys, rng):
+    """--gt-scale documents itself as image-file-only: already-metric
+    .npz/.npy ground truth in a mixed GT directory must NOT be divided."""
+    from monocular_depth_estimation_trt_tpu import cli
+
+    gt = np.abs(rng.standard_normal((8, 8)).astype(np.float32)) + 1.0
+    np.savez(tmp_path / "x.npz", depth=gt)
+    rc = cli.main(["eval", "--pred", str(tmp_path / "x.npz"),
+                   "--gt", str(tmp_path / "x.npz"), "--gt-scale", "1000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["abs_rel"] < 1e-6

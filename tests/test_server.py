@@ -367,9 +367,27 @@ def test_multi_model_unknown_model_404_keeps_connection(server_factory):
         assert err["models"] == ["alpha", "beta"]
         # same socket still parses cleanly (body was fully consumed)
         conn.request("POST", "/v1/depth", body=_png_bytes())
-        assert conn.getresponse().status == 200 or True
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        d = np.load(io.BytesIO(r2.read()))
+        assert "depth" in d
     finally:
         conn.close()
+
+
+def test_empty_model_name_is_404_not_default(server_factory):
+    """`/v1/models//depth` (empty name) must 404, not silently serve the
+    default model at the default resolution."""
+    base, _, _, _ = _two_model_server(server_factory)
+    import urllib.error
+
+    try:
+        _post(f"{base}/v1/models//depth", _png_bytes())
+        raise AssertionError("expected HTTP 404 for empty model name")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        err = json.loads(e.read())
+        assert err["models"] == ["alpha", "beta"]
 
 
 def test_multi_model_batching_groups_by_model(server_factory):
