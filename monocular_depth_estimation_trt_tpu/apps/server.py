@@ -41,6 +41,7 @@ is a Triton model repository of TRT plans.
 
 from __future__ import annotations
 
+import inspect
 import io
 import json
 import queue
@@ -129,6 +130,23 @@ class DepthServer:
                         f"(artifact's largest exported bucket)")
                     cap = top
             self.max_batch_by[name] = cap
+        # pipelined serving: the worker dispatches group N, then fetches
+        # group N-1's outputs while N runs on the device (device_out=True).
+        # Over the axon tunnel a host fetch costs ~RTT (28 ms) + transfer
+        # per group; overlapping it with the next launch hides that cost
+        # entirely under load. Duck-typed pipelines without a device_out
+        # kwarg degrade to synchronous per-group serving.
+        self._dev_out: Dict[str, bool] = {}
+        for name, p in self.pipes.items():
+            try:
+                ok = "device_out" in inspect.signature(
+                    type(p).__call__).parameters
+                if ok and hasattr(p, "batch_call"):
+                    ok = "device_out" in inspect.signature(
+                        p.batch_call).parameters
+            except (TypeError, ValueError):
+                ok = False
+            self._dev_out[name] = ok
         self.batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.started = time.time()
@@ -184,39 +202,65 @@ class DepthServer:
                 break
         return batch
 
-    def _serve_batch(self, pipe, jobs: list) -> None:
-        """One padded device launch for several same-model jobs. Batch sizes
-        bucket to powers of two so at most log2(max_batch)+1 programs ever
-        compile (static shapes — no per-request recompiles)."""
-        frames = np.stack([j.frame for j in jobs])
-        bucket = 1
-        while bucket < len(jobs):
-            bucket *= 2
-        if bucket > len(jobs):  # pad with the last frame (rows discarded)
-            pad = np.repeat(frames[-1:], bucket - len(jobs), axis=0)
-            frames = np.concatenate([frames, pad], axis=0)
-        out = pipe.batch_call(frames, viz=any(j.viz for j in jobs))
-        for i, job in enumerate(jobs):
-            job.result = {k: np.asarray(v)[i] for k, v in out.items()}
-
-    def _serve_group(self, name: str, jobs: list) -> None:
-        """One device launch (single or padded batch) for jobs that all
-        target model ``name``; records stats and resolves the jobs."""
+    def _dispatch_group(self, name: str, jobs: list):
+        """Launch one group (single frame or padded power-of-two batch) on
+        the device and return the in-flight record for ``_resolve_group``.
+        Batch sizes bucket to powers of two so at most log2(max_batch)+1
+        programs ever compile (static shapes — no per-request recompiles).
+        Returns None if the launch itself failed (jobs already resolved)."""
         pipe = self.pipes[name]
+        dev_out = self._dev_out[name]
         t0 = time.time()
         try:
             if len(jobs) == 1:
-                jobs[0].result = pipe(jobs[0].frame, viz=jobs[0].viz)
+                out = (pipe(jobs[0].frame, viz=jobs[0].viz, device_out=True)
+                       if dev_out else pipe(jobs[0].frame, viz=jobs[0].viz))
             else:
-                self._serve_batch(pipe, jobs)
+                frames = np.stack([j.frame for j in jobs])
+                bucket = 1
+                while bucket < len(jobs):
+                    bucket *= 2
+                if bucket > len(jobs):  # pad w/ last frame (rows discarded)
+                    pad = np.repeat(frames[-1:], bucket - len(jobs), axis=0)
+                    frames = np.concatenate([frames, pad], axis=0)
+                viz = any(j.viz for j in jobs)
+                out = (pipe.batch_call(frames, viz=viz, device_out=True)
+                       if dev_out else pipe.batch_call(frames, viz=viz))
         except Exception as e:  # surface as 500, keep serving
-            msg = f"{type(e).__name__}: {e}"
+            self._finish_group(name, jobs, t0, error=f"{type(e).__name__}: {e}")
+            return None
+        return (name, jobs, out, t0)
+
+    def _resolve_group(self, pending) -> None:
+        """Fetch a dispatched group's outputs to the host and resolve its
+        jobs. Runs AFTER the next group is launched, so the readback
+        overlaps device compute (the point of the two-stage worker)."""
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            tree_get_chunked,
+        )
+
+        name, jobs, out, t0 = pending
+        try:
+            host = tree_get_chunked(out)
+            if len(jobs) == 1:
+                jobs[0].result = host
+            else:
+                for i, job in enumerate(jobs):
+                    job.result = {k: np.asarray(v)[i] for k, v in host.items()}
+        except Exception as e:  # surface as 500, keep serving
+            self._finish_group(name, jobs, t0, error=f"{type(e).__name__}: {e}")
+            return
+        self._finish_group(name, jobs, t0)
+
+    def _finish_group(self, name: str, jobs: list, t0: float,
+                      error: Optional[str] = None) -> None:
+        if error is not None:
             for j in jobs:
-                j.error = msg
-            with self._lock:
-                self.errors += len(jobs)
+                j.error = error
         dt = (time.time() - t0) * 1e3
         with self._lock:
+            if error is not None:
+                self.errors += len(jobs)
             self.requests += len(jobs)
             self.requests_by_model[name] += len(jobs)
             if len(jobs) > 1:
@@ -229,10 +273,16 @@ class DepthServer:
             j.done.set()
 
     def _run(self) -> None:
+        inflight = None  # at most ONE dispatched-but-unfetched group
         while not self._stop.is_set():
             try:
-                job = self.jobs.get(timeout=0.2)
+                # with a group in flight, only peek for immediate work
+                # before fetching its results (keeps idle latency ~1 ms)
+                job = self.jobs.get(timeout=0.001 if inflight else 0.2)
             except queue.Empty:
+                if inflight is not None:
+                    self._resolve_group(inflight)
+                    inflight = None
                 continue
             jobs = (self._collect(job) if self.max_batch > 1 else [job])
             # group per model: the chip still sees one launch at a time,
@@ -246,7 +296,13 @@ class DepthServer:
                 # with a b8 bundle): chunk, never exceed an exported bucket
                 cap = self.max_batch_by[name]
                 for i in range(0, len(group), cap):
-                    self._serve_group(name, group[i:i + cap])
+                    pending = self._dispatch_group(name, group[i:i + cap])
+                    if inflight is not None:
+                        self._resolve_group(inflight)
+                        inflight = None
+                    inflight = pending
+        if inflight is not None:
+            self._resolve_group(inflight)
 
     def start(self) -> "DepthServer":
         self._worker.start()

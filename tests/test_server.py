@@ -32,7 +32,7 @@ class FakePipeline:
         self.viz = viz
         self.calls = 0
 
-    def __call__(self, frame, viz=False):
+    def __call__(self, frame, viz=False, device_out=False):
         self.calls += 1
         if self.delay_s:
             time.sleep(self.delay_s)
@@ -472,3 +472,41 @@ def test_per_model_batch_cap(server_factory):
         urllib.request.urlopen(f"{base}/v1/models", timeout=10))
     assert listing["models"]["alpha"]["max_batch"] == 4
     assert listing["models"]["beta"]["max_batch"] == 1
+
+
+class SnoopPipeline(FakePipeline):
+    """Records whether a watched job was already resolved at each call."""
+
+    def __init__(self):
+        super().__init__()
+        self.watch = None
+        self.watch_done_at_call = []
+
+    def __call__(self, frame, viz=False, device_out=False):
+        if self.watch is not None:
+            self.watch_done_at_call.append(self.watch.done.is_set())
+        return super().__call__(frame, viz=viz, device_out=device_out)
+
+
+def test_pipelined_worker_overlaps_fetch_with_next_dispatch():
+    """The two-stage worker dispatches request N+1 BEFORE resolving N, so
+    the host readback (28 ms RTT over the tunnel) overlaps device compute:
+    while job 2's launch runs, job 1 must still be unresolved."""
+    from monocular_depth_estimation_trt_tpu.apps.server import DepthServer
+
+    pipe = SnoopPipeline()
+    ds = DepthServer(pipe, max_queue=8)
+    frame = np.zeros((32, 48, 3), np.uint8)
+    j1 = ds.submit(frame, viz=False)  # queued before the worker starts
+    pipe.watch = j1
+    j2 = ds.submit(frame, viz=False)
+    ds.start()
+    try:
+        assert j1.done.wait(10) and j2.done.wait(10)
+        assert j1.error is None and j2.error is None
+        assert j1.result["depth"].shape == (32, 48)
+        assert j2.result["depth"].shape == (32, 48)
+        # two calls observed; at the SECOND dispatch j1 was still in flight
+        assert pipe.watch_done_at_call == [False, False]
+    finally:
+        ds.stop()
