@@ -96,16 +96,26 @@ def run_video(
     # recurrent state rides on device between frames; each video is a fresh
     # sequence (reference later/FlashDepth/wrapper.py:13 start_new_sequence)
     runner = pipeline.stream() if hasattr(pipeline, "stream") else pipeline
+    # pipelined decode/compute/encode: dispatch frame N on the device
+    # (device_out=True), then fetch + colorize + write frame N-1 while N
+    # computes — over the axon tunnel the per-frame host readback (~RTT +
+    # transfer) hides behind device time. Stateful stream sessions without
+    # a device_out kwarg keep the synchronous per-frame path.
+    import inspect
+
+    from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+        tree_get_chunked,
+    )
+
+    try:
+        pipelined = "device_out" in inspect.signature(runner).parameters
+    except (TypeError, ValueError):
+        pipelined = False
+
     n = 0
-    while True:
-        ok, frame_bgr = cap.read()
-        if not ok or (max_frames and n >= max_frames):
-            break
-        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
-        t0 = time.perf_counter()
-        out = runner(rgb, viz=True)
-        dt = time.perf_counter() - t0
-        viz = cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
+
+    def emit(out, dt):
+        viz = cv2.cvtColor(np.asarray(out["viz"]), cv2.COLOR_RGB2BGR)
         if viz.shape[:2] != (h, w):
             viz = cv2.resize(viz, (w, h))
         if overlay_fps:
@@ -119,7 +129,27 @@ def run_video(
                 2,
             )
         writer.write(viz)
+
+    pending = None  # (dispatch time, device outputs) — one frame in flight
+    while True:
+        ok, frame_bgr = cap.read()
+        if not ok or (max_frames and n >= max_frames):
+            break
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        t0 = time.perf_counter()
+        if pipelined:
+            out_dev = runner(rgb, viz=True, device_out=True)
+            if pending is not None:
+                p_t0, p_out = pending
+                emit(tree_get_chunked(p_out), time.perf_counter() - p_t0)
+            pending = (t0, out_dev)
+        else:
+            out = runner(rgb, viz=True)
+            emit(out, time.perf_counter() - t0)
         n += 1
+    if pending is not None:
+        p_t0, p_out = pending
+        emit(tree_get_chunked(p_out), time.perf_counter() - p_t0)
     cap.release()
     writer.release()
     log(f"wrote {n} frames -> {out_path}")

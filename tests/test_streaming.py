@@ -77,6 +77,32 @@ def test_run_video_roundtrip(tmp_path, rng):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
 
 
+def test_run_video_pipelined_one_in_flight(tmp_path, rng):
+    """A pipeline that accepts device_out takes the pipelined path: frame N
+    dispatches BEFORE frame N-1's output is written, every frame still
+    lands in the MP4, and the tail frame is flushed after the loop."""
+    vp = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(4):
+        writer.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    writer.release()
+
+    calls = []
+
+    class DevOutPipe:
+        def __call__(self, rgb, viz=False, device_out=False):
+            assert device_out, "run_video should request device outputs"
+            calls.append(rgb.shape)
+            d = rgb[..., 0].astype(np.float32)
+            return {"depth": d, "viz": np.stack([rgb[..., 0]] * 3, -1)}
+
+    out = run_video(DevOutPipe(), vp, str(tmp_path / "out.mp4"), max_frames=4)
+    cap = cv2.VideoCapture(out)
+    # all 4 frames land, including the final in-flight frame's tail flush
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 4
+    assert len(calls) == 4
+
+
 def test_vggt_streaming_session(rng):
     """KV-cache session over real (tiny) VGGT weights: static shapes, the
     cache advances, and outputs are finite for more steps than the window."""
