@@ -181,19 +181,44 @@ def run_flow_frames(
     writer = cv2.VideoWriter(
         out_path, cv2.VideoWriter_fourcc(*"mp4v"), 15.0, size_wh
     )
+    # same one-in-flight software pipeline as run_video: dispatch pair N,
+    # then fetch + write pair N-1 while N computes on the device
+    import inspect
+
+    from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+        tree_get_chunked,
+    )
+
+    try:
+        pipelined = "device_out" in inspect.signature(
+            flow_pipeline).parameters
+    except (TypeError, ValueError):
+        pipelined = False
+
+    def emit(out):
+        viz = cv2.cvtColor(np.asarray(out["viz"]), cv2.COLOR_RGB2BGR)
+        if (viz.shape[1], viz.shape[0]) != size_wh:
+            viz = cv2.resize(viz, size_wh)
+        writer.write(viz)
+
     prev = cv2.cvtColor(cv2.imread(paths[0]), cv2.COLOR_BGR2RGB)
     n = 0
+    pending = None
     for p in paths[1:]:
         if max_pairs and n >= max_pairs:
             break
         cur = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-        out = flow_pipeline(prev, cur, viz=True)
-        viz = cv2.cvtColor(out["viz"], cv2.COLOR_RGB2BGR)
-        if (viz.shape[1], viz.shape[0]) != size_wh:
-            viz = cv2.resize(viz, size_wh)
-        writer.write(viz)
+        if pipelined:
+            out_dev = flow_pipeline(prev, cur, viz=True, device_out=True)
+            if pending is not None:
+                emit(tree_get_chunked(pending))
+            pending = out_dev
+        else:
+            emit(flow_pipeline(prev, cur, viz=True))
         prev = cur
         n += 1
+    if pending is not None:
+        emit(tree_get_chunked(pending))
     writer.release()
     log(f"wrote {n} flow frames -> {out_path}")
     return out_path

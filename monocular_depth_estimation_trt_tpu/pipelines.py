@@ -332,7 +332,8 @@ class FlowPipeline:
         self._engines[key] = eng
         return eng
 
-    def __call__(self, frame1: np.ndarray, frame2: np.ndarray, *, viz: bool = False):
+    def __call__(self, frame1: np.ndarray, frame2: np.ndarray, *,
+                 viz: bool = False, device_out: bool = False):
         from monocular_depth_estimation_trt_tpu.runtime.transfer import (
             device_put_chunked,
             tree_get_chunked,
@@ -345,6 +346,8 @@ class FlowPipeline:
             device_put_chunked(np.asarray(frame1)),
             device_put_chunked(np.asarray(frame2)),
         )
+        if device_out:
+            return out
         return tree_get_chunked(out)
 
     def benchmark(

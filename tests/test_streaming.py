@@ -130,3 +130,41 @@ def test_vggt_streaming_session(rng):
     assert out["depth"].shape == (70, 70)
     assert np.isfinite(np.asarray(out["depth"])).all()
     assert int(sess._cache["t"]) == 4
+
+
+def test_run_flow_frames_pipelined_and_sync(tmp_path, rng):
+    """Flow-over-frames writes one viz frame per consecutive pair, through
+    both the pipelined (device_out) and the plain synchronous path."""
+    from monocular_depth_estimation_trt_tpu.apps.streaming import (
+        run_flow_frames,
+    )
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(d / f"f{i:03d}.png"),
+                    rng.integers(0, 255, (36, 64, 3), dtype=np.uint8))
+
+    def make_out(f1):
+        return {"flow": np.zeros((*f1.shape[:2], 2), np.float32),
+                "viz": np.stack([f1[..., 0]] * 3, -1)}
+
+    class SyncFlow:
+        def __call__(self, f1, f2, viz=False):
+            return make_out(f1)
+
+    class DevOutFlow:
+        def __init__(self):
+            self.dev_out_seen = 0
+
+        def __call__(self, f1, f2, viz=False, device_out=False):
+            self.dev_out_seen += int(device_out)
+            return make_out(f1)
+
+    for pipe in (SyncFlow(), DevOutFlow()):
+        out = run_flow_frames(pipe, str(d), str(tmp_path / "flow.mp4"),
+                              size_wh=(64, 36))
+        cap = cv2.VideoCapture(out)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3  # 4 frames: 3 pairs
+        cap.release()
+    assert pipe.dev_out_seen == 3  # pipelined path actually taken
