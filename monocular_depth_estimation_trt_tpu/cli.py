@@ -903,6 +903,9 @@ def cmd_serve(args) -> int:
         # batch buckets + viz variants exist; weights are stored once).
         # Several --engine flags host several models behind ONE server /
         # ONE device-worker thread (POST /v1/models/<name>/depth).
+        if getattr(args, "device_mesh", ""):
+            log("serve --engine: shardings are baked into the artifact at "
+                "export time; --device-mesh ignored", tag="WARN")
         loaded = []
         for p in engines:
             eng = _load_artifact(p, surface="serve", need_images=(1,))
@@ -948,6 +951,7 @@ def cmd_serve(args) -> int:
     if ci is not None:
         kw["calib_images"] = ci
     pipe = build_pipeline(args.model, **kw)
+    pipe = _apply_device_mesh(pipe, getattr(args, "device_mesh", ""))
     hw = (args.size, args.size) if args.size else None
     serve(pipe, host=args.host, port=args.port, input_hw=hw,
           max_queue=args.max_queue, max_batch=args.max_batch,
@@ -1639,6 +1643,11 @@ def build_parser() -> argparse.ArgumentParser:
                        dest="batch_window_ms",
                        help="how long to wait for straggler requests once "
                        "one is in hand (only with --max-batch > 1)")
+    serve.add_argument("--device-mesh", default="", dest="device_mesh",
+                       help="shard the served model over DxM devices "
+                       "(data x model axes, e.g. 1x8 = tensor-parallel "
+                       "serving); live pipelines only — artifacts bake "
+                       "their shardings at export")
     serve.set_defaults(fn=cmd_serve)
 
     convert = sub.add_parser(

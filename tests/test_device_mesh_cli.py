@@ -107,3 +107,30 @@ def test_cli_bench_trace_writes_profile(monkeypatch, tmp_path):
     assert rc == 0
     found = [os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs]
     assert found, "trace directory is empty"
+
+
+def test_tp_sharded_pipeline_behind_depth_server(rng):
+    """`mdet serve --device-mesh`: a TP-sharded pipeline serves through the
+    DepthServer worker (incl. the pipelined device_out path) with numerics
+    matching the unsharded pipeline."""
+    from monocular_depth_estimation_trt_tpu.apps.server import DepthServer
+
+    img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    ref = _tp_pipeline()(img)["depth"]
+
+    pipe = _tp_pipeline()
+    pipe.apply_mesh(get_mesh((1, 8), ("data", "model")))
+    ds = DepthServer(pipe).start()
+    try:
+        job = ds.submit(img, viz=False)
+        assert job.done.wait(30) and job.error is None
+        assert np.allclose(np.asarray(job.result["depth"]),
+                           np.asarray(ref), atol=1e-5)
+    finally:
+        ds.stop()
+
+
+def test_cli_serve_device_mesh_parser():
+    p = cli.build_parser()
+    a = p.parse_args(["serve", "toy", "--device-mesh", "1x8"])
+    assert a.device_mesh == "1x8" and a.fn.__name__ == "cmd_serve"
