@@ -41,7 +41,6 @@ is a Triton model repository of TRT plans.
 
 from __future__ import annotations
 
-import inspect
 import io
 import json
 import queue
@@ -136,17 +135,21 @@ class DepthServer:
         # per group; overlapping it with the next launch hides that cost
         # entirely under load. Duck-typed pipelines without a device_out
         # kwarg degrade to synchronous per-group serving.
+        from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+            supports_device_out,
+        )
+
         self._dev_out: Dict[str, bool] = {}
         for name, p in self.pipes.items():
-            try:
-                ok = "device_out" in inspect.signature(
-                    type(p).__call__).parameters
-                if ok and hasattr(p, "batch_call"):
-                    ok = "device_out" in inspect.signature(
-                        p.batch_call).parameters
-            except (TypeError, ValueError):
-                ok = False
+            ok = supports_device_out(p)
+            if ok and hasattr(p, "batch_call"):
+                ok = supports_device_out(p.batch_call)
             self._dev_out[name] = ok
+        # (model, bucket, viz) launch shapes already compiled: a dispatch
+        # that would COMPILE (minutes on first touch) must not hold a prior
+        # group's finished results hostage — the worker resolves the
+        # in-flight group before any cold-shape dispatch
+        self._warm: set = set()
         self.batch_window_s = max(float(batch_window_ms), 0.0) / 1e3
         self.jobs: "queue.Queue[_Job]" = queue.Queue(maxsize=max_queue)
         self.started = time.time()
@@ -155,7 +158,11 @@ class DepthServer:
         self.requests_by_model = {name: 0 for name in self.pipes}
         self.batches = 0
         self.batched_jobs = 0
-        self.lat_ms: list = []  # device-side latency, rolling
+        # request service latency (dispatch -> results on host), rolling.
+        # In pipelined mode this includes the bounded overlap hold (~1 ms
+        # idle peek or the next group's host-side launch), not pure device
+        # time — it is what a client actually experiences past the queue.
+        self.lat_ms: list = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -172,6 +179,7 @@ class DepthServer:
             # first live request (minutes on a cold cache)
             pipe(np.zeros((h, w, 3), np.uint8), viz=True)
             pipe(np.zeros((h, w, 3), np.uint8), viz=False)
+            self._warm.update({(name, 1, True), (name, 1, False)})
             cap = self.max_batch_by[name]
             if cap > 1:
                 # largest bucket in BOTH viz modes (a batch serves viz=True
@@ -179,6 +187,7 @@ class DepthServer:
                 frames = np.zeros((cap, h, w, 3), np.uint8)
                 pipe.batch_call(frames, viz=False)
                 pipe.batch_call(frames, viz=True)
+                self._warm.update({(name, cap, True), (name, cap, False)})
             log(f"server warmup: engine ready "
                 f"({pipe.spec.artifact_name()} @ {h}x{w}"
                 + (f", max_batch={cap}" if cap > 1 else "") + ")")
@@ -296,11 +305,29 @@ class DepthServer:
                 # with a b8 bundle): chunk, never exceed an exported bucket
                 cap = self.max_batch_by[name]
                 for i in range(0, len(group), cap):
-                    pending = self._dispatch_group(name, group[i:i + cap])
+                    chunk = group[i:i + cap]
+                    size = len(chunk)
+                    bucket = (1 << (size - 1).bit_length()) if size > 1 else 1
+                    key = (name, bucket, any(j.viz for j in chunk))
+                    # resolve first when the coming dispatch would BLOCK:
+                    # sync pipes compute inline, and a cold launch shape
+                    # compiles (minutes) — either would hold the previous
+                    # group's finished results past its client timeout
+                    if inflight is not None and (
+                            not self._dev_out[name] or key not in self._warm):
+                        self._resolve_group(inflight)
+                        inflight = None
+                    pending = self._dispatch_group(name, chunk)
+                    self._warm.add(key)
                     if inflight is not None:
                         self._resolve_group(inflight)
                         inflight = None
-                    inflight = pending
+                    if pending is None:
+                        continue
+                    if self._dev_out[name]:
+                        inflight = pending
+                    else:  # host results already in hand — nothing to overlap
+                        self._resolve_group(pending)
         if inflight is not None:
             self._resolve_group(inflight)
 
@@ -458,7 +485,9 @@ def make_handler(server: DepthServer):
             import cv2
 
             url = urlparse(self.path)
-            qs = parse_qs(url.query)
+            # keep_blank_values: `?model=` must mean "unknown model ''"
+            # (-> 404 + listing), not silently fall through to the default
+            qs = parse_qs(url.query, keep_blank_values=True)
             model = None
             if (url.path.startswith("/v1/models/")
                     and url.path.endswith("/depth")):

@@ -101,20 +101,20 @@ def run_video(
     # computes — over the axon tunnel the per-frame host readback (~RTT +
     # transfer) hides behind device time. Stateful stream sessions without
     # a device_out kwarg keep the synchronous per-frame path.
-    import inspect
-
     from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+        supports_device_out,
         tree_get_chunked,
     )
 
-    try:
-        pipelined = "device_out" in inspect.signature(runner).parameters
-    except (TypeError, ValueError):
-        pipelined = False
-
+    pipelined = supports_device_out(runner)
     n = 0
+    last_emit = None  # overlay FPS = emitted-frame period (true throughput)
 
-    def emit(out, dt):
+    def emit(out, dt_fallback):
+        nonlocal last_emit
+        now = time.perf_counter()
+        dt = (now - last_emit) if last_emit is not None else dt_fallback
+        last_emit = now
         viz = cv2.cvtColor(np.asarray(out["viz"]), cv2.COLOR_RGB2BGR)
         if viz.shape[:2] != (h, w):
             viz = cv2.resize(viz, (w, h))
@@ -183,17 +183,12 @@ def run_flow_frames(
     )
     # same one-in-flight software pipeline as run_video: dispatch pair N,
     # then fetch + write pair N-1 while N computes on the device
-    import inspect
-
     from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+        supports_device_out,
         tree_get_chunked,
     )
 
-    try:
-        pipelined = "device_out" in inspect.signature(
-            flow_pipeline).parameters
-    except (TypeError, ValueError):
-        pipelined = False
+    pipelined = supports_device_out(flow_pipeline)
 
     def emit(out):
         viz = cv2.cvtColor(np.asarray(out["viz"]), cv2.COLOR_RGB2BGR)

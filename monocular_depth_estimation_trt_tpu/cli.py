@@ -1752,6 +1752,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "device", "auto") not in ("auto", "cpu", "tpu", "axon"):
+        # argparse never validates DEFAULTS, so a bad MDET_DEVICE env value
+        # would otherwise surface as an obscure backend-init RuntimeError
+        log(f"invalid MDET_DEVICE/--device {args.device!r}; "
+            f"want auto|cpu|tpu|axon", tag="ERROR")
+        return 2
     if getattr(args, "device", "auto") != "auto":
         # must land before the backend initializes (first device/compile
         # touch); the axon plugin ignores the JAX_PLATFORMS env var, so

@@ -488,7 +488,10 @@ class LoadedEngine:
         reference could not export. Without one: a plain per-frame callable,
         same as non-streaming pipelines."""
         if "stream" not in self._fns:
-            return lambda frame, viz=False: self(frame, viz=viz)
+            # keep the device_out kwarg visible so run_video's pipelined
+            # dispatch/fetch path engages for artifact serving too
+            return lambda frame, viz=False, device_out=False: self(
+                frame, viz=viz, device_out=device_out)
         baked = int(self.meta["modules"]["stream"].get("window", 0))
         if window and baked and window != baked:
             raise ValueError(

@@ -55,6 +55,19 @@ def device_get_chunked(
     return np.concatenate(parts, axis=0)
 
 
+def supports_device_out(fn) -> bool:
+    """True if ``fn(..., device_out=True)`` is accepted — the serving
+    surfaces (HTTP worker, run_video, run_flow_frames) use this ONE probe
+    to pick the pipelined dispatch/fetch path. Works for plain functions
+    and for callable instances (``inspect.signature`` resolves __call__)."""
+    import inspect
+
+    try:
+        return "device_out" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def tree_get_chunked(tree):
     """Chunked host fetch over a pytree of device arrays."""
     return jax.tree_util.tree_map(

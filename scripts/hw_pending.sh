@@ -54,16 +54,24 @@ for MB in 1 8; do
   echo $! > /tmp/hw_serve.pid
   # the port binds only AFTER warmup compiles (minutes on the tunnel even
   # with a warm XLA cache) — poll /v1/health, bounded, before load-testing
+  HEALTHY=0
   for _ in $(seq 180); do
     if curl -sf --max-time 5 http://127.0.0.1:8311/v1/health >/dev/null; then
+      HEALTHY=1
       break
     fi
     kill -0 $(cat /tmp/hw_serve.pid) || break  # server died: stop waiting
     sleep 10
   done
-  timeout 900 python scripts/load_test.py --url http://127.0.0.1:8311 \
-      --image /tmp/loadtest_518.jpg --clients 8 --seconds 30 \
-      2>&1 | tee /tmp/hw_loadtest_mb$MB.json
+  if [ "$HEALTHY" = 1 ]; then
+    timeout 900 python scripts/load_test.py --url http://127.0.0.1:8311 \
+        --image /tmp/loadtest_518.jpg --clients 8 --seconds 30 \
+        2>&1 | tee /tmp/hw_loadtest_mb$MB.json
+  else
+    # don't burn 15 min connecting to a dead port / tee tracebacks as rows
+    echo "{\"error\": \"server never became healthy (max-batch $MB)\"}" \
+        | tee /tmp/hw_loadtest_mb$MB.json
+  fi
   kill $(cat /tmp/hw_serve.pid) || true
   sleep 3
 done

@@ -77,3 +77,14 @@ def test_device_flag_parses_and_defaults_from_env(monkeypatch):
         ["--device", "cpu", "models"]).device == "cpu"
     monkeypatch.setenv("MDET_DEVICE", "cpu")
     assert build_parser().parse_args(["models"]).device == "cpu"
+
+
+def test_bad_env_device_is_a_usage_error(monkeypatch, capsys):
+    """argparse never validates defaults, so MDET_DEVICE=gpu must be caught
+    in main() instead of dying deep in jax backend init."""
+    from monocular_depth_estimation_trt_tpu import cli
+
+    monkeypatch.setenv("MDET_DEVICE", "gpu")
+    assert cli.main(["models"]) == 2
+    captured = capsys.readouterr()
+    assert "invalid mdet_device" in (captured.out + captured.err).lower()

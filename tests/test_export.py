@@ -690,6 +690,15 @@ def test_stream_fallback_for_plain_artifacts(tmp_path):
     runner = load_engine(path).stream()
     out = runner(_img(), viz=True)
     assert "depth" in out and "viz" in out
+    # the fallback must expose device_out so run_video's pipelined
+    # dispatch/fetch path engages for artifact video serving too
+    from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+        supports_device_out,
+    )
+
+    assert supports_device_out(runner)
+    dev = runner(_img(), viz=True, device_out=True)
+    assert "viz" in dev
 
 
 def test_stream_rejected_without_bundle_hook(tmp_path):

@@ -510,3 +510,46 @@ def test_pipelined_worker_overlaps_fetch_with_next_dispatch():
         assert pipe.watch_done_at_call == [False, False]
     finally:
         ds.stop()
+
+
+def test_blank_query_model_is_404_not_default(server_factory):
+    """`?model=` (blank value) must 404 like the path form — parse_qs
+    keeps blank values so '' is not silently the default model."""
+    base, _, _, _ = _two_model_server(server_factory)
+
+    try:
+        _post(f"{base}/v1/depth?model=", _png_bytes())
+        raise AssertionError("expected HTTP 404 for blank model name")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        assert json.loads(e.read())["models"] == ["alpha", "beta"]
+
+
+def test_sync_pipe_groups_resolve_before_next_dispatch():
+    """A pipeline WITHOUT device_out computes everything at dispatch time;
+    the worker must resolve it immediately instead of holding finished
+    results hostage to the NEXT group's blocking compute."""
+    events = []
+
+    class SyncSnoop:
+        spec = ModelSpec(model="sync", input_hw=(32, 48), precision="fp32")
+        watch = None
+
+        def __call__(self, frame, viz=False):  # no device_out kwarg
+            if self.watch is not None:
+                events.append(self.watch.done.is_set())
+            return {"depth": frame[..., 0].astype(np.float32)}
+
+    pipe = SyncSnoop()
+    ds = DepthServer(pipe, max_queue=8)
+    frame = np.zeros((32, 48, 3), np.uint8)
+    j1 = ds.submit(frame, viz=False)
+    SyncSnoop.watch = j1
+    j2 = ds.submit(frame, viz=False)
+    ds.start()
+    try:
+        assert j1.done.wait(10) and j2.done.wait(10)
+        # call 1: j1 naturally unresolved; call 2: j1 ALREADY resolved
+        assert events == [False, True]
+    finally:
+        ds.stop()
