@@ -196,7 +196,20 @@ class DepthPipeline:
 
         b, h, w = frames.shape[:3]
         eng = self.batch_engine_for((h, w), b, with_viz=viz)
-        out = eng(self.params, device_put_chunked(np.asarray(frames)))
+        x = np.asarray(frames)
+        mesh = getattr(self, "mesh", None)
+        if (mesh is not None and "data" in mesh.axis_names
+                and mesh.shape["data"] > 1 and b % mesh.shape["data"] == 0):
+            # data-parallel batched serving: split the frame batch over the
+            # mesh's data axis (jit propagates the sharding through the
+            # engine, so each device runs its b/N shard); non-divisible
+            # buckets fall back to a replicated put
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            xin = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+        else:
+            xin = device_put_chunked(x)
+        out = eng(self.params, xin)
         if device_out:
             return out
         from monocular_depth_estimation_trt_tpu.runtime.transfer import (

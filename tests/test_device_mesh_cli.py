@@ -134,3 +134,23 @@ def test_cli_serve_device_mesh_parser():
     p = cli.build_parser()
     a = p.parse_args(["serve", "toy", "--device-mesh", "1x8"])
     assert a.device_mesh == "1x8" and a.fn.__name__ == "cmd_serve"
+
+
+def test_batch_call_shards_batch_over_data_axis(rng):
+    """DP batched serving: with a data axis on the mesh, batch_call splits
+    the frame batch over it (each device computes b/N frames), numerics
+    matching the unsharded batch."""
+    frames = rng.integers(0, 255, (8, 8, 8, 3), dtype=np.uint8)
+    ref = _tp_pipeline().batch_call(frames)["depth"]
+
+    pipe = _tp_pipeline()
+    pipe.apply_mesh(get_mesh((8, 1), ("data", "model")))
+    out = pipe.batch_call(frames, device_out=True)
+    assert np.allclose(np.asarray(out["depth"]), np.asarray(ref), atol=1e-5)
+    assert not out["depth"].sharding.is_fully_replicated  # really DP-split
+
+    # non-divisible batch degrades to the replicated put, same numerics
+    odd = frames[:6]
+    ref6 = _tp_pipeline().batch_call(odd)["depth"]
+    out6 = pipe.batch_call(odd)["depth"]
+    assert np.allclose(np.asarray(out6), np.asarray(ref6), atol=1e-5)
