@@ -560,10 +560,23 @@ def serve(pipeline, host: str = "0.0.0.0", port: int = 8000,
     else:
         log(f"serving {ds.pipe.spec.artifact_name()} on http://{host}:{port} "
             f"(POST /v1/depth)")
+    # SIGTERM (docker stop / kubernetes) drains like Ctrl-C: stop accepting,
+    # resolve the in-flight group, join the worker — not a mid-launch kill
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (embedded/test use)
+        prev = None
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        pass
+        log("serve: shutting down (drain + worker join)")
     finally:
         httpd.server_close()
         ds.stop()
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)

@@ -553,3 +553,23 @@ def test_sync_pipe_groups_resolve_before_next_dispatch():
         assert events == [False, True]
     finally:
         ds.stop()
+
+
+def test_sigterm_drains_and_returns():
+    """SIGTERM (docker stop / k8s) must shut the blocking serve() down
+    cleanly — drain, worker join, return — not die mid-launch."""
+    import os
+    import signal
+
+    from monocular_depth_estimation_trt_tpu.apps.server import serve
+
+    assert threading.current_thread() is threading.main_thread()
+    prev = signal.getsignal(signal.SIGTERM)
+
+    def killer():
+        time.sleep(0.8)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    threading.Thread(target=killer, daemon=True).start()
+    serve(FakePipeline(), host="127.0.0.1", port=0, warmup=False)  # returns
+    assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
