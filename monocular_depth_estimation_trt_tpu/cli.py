@@ -371,10 +371,16 @@ def cmd_batch(args) -> int:
     name = pipe.spec.artifact_name()
 
     on_result = None
+    writer_thread = None
+    write_q = None
     if args.save:
         import cv2
+        import queue as _queue
+        import threading
 
-        def on_result(start_idx, host):
+        from monocular_depth_estimation_trt_tpu.runtime import native
+
+        def _write_batch(start_idx, host):
             depths = np.asarray(host["depth"])
             for j in range(depths.shape[0]):
                 i = start_idx + j
@@ -388,13 +394,43 @@ def cmd_batch(args) -> int:
                 d = depths[j]
                 norm = ((d - d.min()) / max(float(d.max() - d.min()), 1e-6)
                         * 255).astype(np.uint8)
-                cv2.imwrite(os.path.join(args.out, f"{stem}_{name}.jpg"),
-                            cv2.applyColorMap(norm, cv2.COLORMAP_INFERNO))
+                bgr = cv2.applyColorMap(norm, cv2.COLORMAP_INFERNO)
+                jpg = os.path.join(args.out, f"{stem}_{name}.jpg")
+                if native.native_available():
+                    native.encode_jpg(
+                        jpg, np.ascontiguousarray(bgr[..., ::-1]))
+                else:
+                    cv2.imwrite(jpg, bgr)
+
+        # writes happen OFF the submit loop: a bounded queue + one writer
+        # thread keeps savez/colormap/encode from serializing with the
+        # next batch's device flush (hostio.cpp does the JPEG encode when
+        # the native lib is built)
+        write_q = _queue.Queue(maxsize=8)
+
+        def _writer():
+            while True:
+                item = write_q.get()
+                if item is None:
+                    return
+                try:
+                    _write_batch(*item)
+                except Exception as e:  # keep the run going, report at end
+                    log(f"batch write failed: {e}", tag="ERROR")
+
+        writer_thread = threading.Thread(target=_writer, daemon=True)
+        writer_thread.start()
+
+        def on_result(start_idx, host):
+            write_q.put((start_idx, host))
 
     stats = process_images_batched(
         pipe, paths, batch=args.batch, on_result=on_result,
         decode_threads=args.decode_threads,
     )
+    if writer_thread is not None:
+        write_q.put(None)
+        writer_thread.join()
     print(json.dumps({"metric": f"{name}_batched_fps",
                       "value": stats["fps"], "unit": "fps",
                       "batch": stats["batch"], "frames": stats["frames"]}))
