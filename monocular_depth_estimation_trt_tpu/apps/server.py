@@ -120,6 +120,10 @@ class DepthServer:
         self.max_batch_by: Dict[str, int] = {}
         for name, p in self.pipes.items():
             cap = self.max_batch
+            if cap > 1 and not hasattr(p, "batch_call"):
+                log(f"server: model {name!r} has no batch_call; "
+                    f"capped at batch 1")
+                cap = 1
             buckets = getattr(p, "batches", None)
             if buckets:
                 top = max(int(b) for b in buckets)

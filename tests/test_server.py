@@ -573,3 +573,49 @@ def test_sigterm_drains_and_returns():
     threading.Thread(target=killer, daemon=True).start()
     serve(FakePipeline(), host="127.0.0.1", port=0, warmup=False)  # returns
     assert signal.getsignal(signal.SIGTERM) is prev  # handler restored
+
+
+def test_mixed_sync_async_models_under_concurrent_load():
+    """Stress the two-stage worker: one device_out model and one sync model
+    behind the same server, hammered concurrently with mixed viz — every
+    job resolves, correct values, coherent stats."""
+    a = FakeBatchPipeline()           # device_out capable
+    a.spec = ModelSpec(model="alpha", input_hw=(16, 16), precision="fp32")
+
+    class SyncPipe(FakePipeline):
+        def __call__(self, frame, viz=False):  # no device_out
+            return super().__call__(frame, viz=viz)
+
+    b = SyncPipe()
+    b.spec = ModelSpec(model="beta", input_hw=(16, 16), precision="fp32")
+
+    ds = DepthServer({"alpha": a, "beta": b}, max_batch=4,
+                     batch_window_ms=1.0).start()
+    try:
+        jobs = []
+        lock = threading.Lock()
+
+        def fire(i):
+            frame = np.full((16, 16, 3), i % 251, np.uint8)
+            j = ds.submit(frame, viz=bool(i % 3 == 0),
+                          model="alpha" if i % 2 else "beta")
+            with lock:
+                jobs.append((i, j))
+
+        threads = [threading.Thread(target=fire, args=(i,))
+                   for i in range(40)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, j in jobs:
+            assert j.done.wait(30), f"job {i} never resolved"
+            assert j.error is None, f"job {i}: {j.error}"
+            # depth = frame[..., 0] + 1.0 pins result-to-request routing
+            assert float(np.asarray(j.result["depth"])[0, 0]) == (i % 251) + 1.0
+        s = ds.stats()
+        assert s["requests"] == 40 and s["errors"] == 0
+        assert s["requests_by_model"]["alpha"] == 20
+        assert s["requests_by_model"]["beta"] == 20
+    finally:
+        ds.stop()
