@@ -55,6 +55,12 @@ import numpy as np
 from monocular_depth_estimation_trt_tpu.utils.logging import log
 
 
+def _ceil_pow2(n: int) -> int:
+    """Smallest power of two >= n — THE launch-bucket rounding; the warm-key
+    tracking in _run and the padding in _dispatch_group must agree on it."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
 class _Job:
     __slots__ = ("frame", "viz", "model", "done", "result", "error")
 
@@ -230,9 +236,7 @@ class DepthServer:
                        if dev_out else pipe(jobs[0].frame, viz=jobs[0].viz))
             else:
                 frames = np.stack([j.frame for j in jobs])
-                bucket = 1
-                while bucket < len(jobs):
-                    bucket *= 2
+                bucket = _ceil_pow2(len(jobs))
                 if bucket > len(jobs):  # pad w/ last frame (rows discarded)
                     pad = np.repeat(frames[-1:], bucket - len(jobs), axis=0)
                     frames = np.concatenate([frames, pad], axis=0)
@@ -310,9 +314,8 @@ class DepthServer:
                 cap = self.max_batch_by[name]
                 for i in range(0, len(group), cap):
                     chunk = group[i:i + cap]
-                    size = len(chunk)
-                    bucket = (1 << (size - 1).bit_length()) if size > 1 else 1
-                    key = (name, bucket, any(j.viz for j in chunk))
+                    key = (name, _ceil_pow2(len(chunk)),
+                           any(j.viz for j in chunk))
                     # resolve first when the coming dispatch would BLOCK:
                     # sync pipes compute inline, and a cold launch shape
                     # compiles (minutes) — either would hold the previous
@@ -322,7 +325,11 @@ class DepthServer:
                         self._resolve_group(inflight)
                         inflight = None
                     pending = self._dispatch_group(name, chunk)
-                    self._warm.add(key)
+                    if pending is not None:
+                        # only a SUCCESSFUL dispatch proves the shape is
+                        # compiled; a failed one must stay cold so the next
+                        # attempt still resolves prior work first
+                        self._warm.add(key)
                     if inflight is not None:
                         self._resolve_group(inflight)
                         inflight = None

@@ -373,6 +373,7 @@ def cmd_batch(args) -> int:
     on_result = None
     writer_thread = None
     write_q = None
+    write_errors: list = []
     if args.save:
         import cv2
         import queue as _queue
@@ -396,11 +397,14 @@ def cmd_batch(args) -> int:
                         * 255).astype(np.uint8)
                 bgr = cv2.applyColorMap(norm, cv2.COLORMAP_INFERNO)
                 jpg = os.path.join(args.out, f"{stem}_{name}.jpg")
+                ok = False
                 if native.native_available():
-                    native.encode_jpg(
+                    ok = native.encode_jpg(
                         jpg, np.ascontiguousarray(bgr[..., ::-1]))
-                else:
-                    cv2.imwrite(jpg, bgr)
+                if not ok:  # cv2 fallback also covers a native encode fail
+                    ok = bool(cv2.imwrite(jpg, bgr))
+                if not ok:
+                    raise IOError(f"could not write {jpg}")
 
         # writes happen OFF the submit loop: a bounded queue + one writer
         # thread keeps savez/colormap/encode from serializing with the
@@ -416,6 +420,7 @@ def cmd_batch(args) -> int:
                 try:
                     _write_batch(*item)
                 except Exception as e:  # keep the run going, report at end
+                    write_errors.append(str(e))
                     log(f"batch write failed: {e}", tag="ERROR")
 
         writer_thread = threading.Thread(target=_writer, daemon=True)
@@ -424,13 +429,21 @@ def cmd_batch(args) -> int:
         def on_result(start_idx, host):
             write_q.put((start_idx, host))
 
-    stats = process_images_batched(
-        pipe, paths, batch=args.batch, on_result=on_result,
-        decode_threads=args.decode_threads,
-    )
-    if writer_thread is not None:
-        write_q.put(None)
-        writer_thread.join()
+    try:
+        stats = process_images_batched(
+            pipe, paths, batch=args.batch, on_result=on_result,
+            decode_threads=args.decode_threads,
+        )
+    finally:
+        # flush queued results even when the run raises mid-way — already-
+        # computed outputs land on disk instead of dying with the daemon
+        if writer_thread is not None:
+            write_q.put(None)
+            writer_thread.join()
+    if args.save and write_errors:
+        log(f"batch: {len(write_errors)} write failure(s); first: "
+            f"{write_errors[0]}", tag="ERROR")
+        return 1
     print(json.dumps({"metric": f"{name}_batched_fps",
                       "value": stats["fps"], "unit": "fps",
                       "batch": stats["batch"], "frames": stats["frames"]}))

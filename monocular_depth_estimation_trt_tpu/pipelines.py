@@ -198,16 +198,32 @@ class DepthPipeline:
         eng = self.batch_engine_for((h, w), b, with_viz=viz)
         x = np.asarray(frames)
         mesh = getattr(self, "mesh", None)
-        if (mesh is not None and "data" in mesh.axis_names
-                and mesh.shape["data"] > 1 and b % mesh.shape["data"] == 0):
+        ndata = (mesh.shape.get("data", 1)
+                 if mesh is not None and "data" in mesh.axis_names else 1)
+        if ndata > 1 and b % ndata == 0:
             # data-parallel batched serving: split the frame batch over the
             # mesh's data axis (jit propagates the sharding through the
-            # engine, so each device runs its b/N shard); non-divisible
-            # buckets fall back to a replicated put
+            # engine, so each device runs its b/N shard). Each shard goes
+            # through the CHUNKED put — a plain sharded device_put would
+            # ship multi-MB shard payloads straight into the tunnel
+            # transfer cliff documented in runtime/transfer.py.
             from jax.sharding import NamedSharding, PartitionSpec
 
-            xin = jax.device_put(x, NamedSharding(mesh, PartitionSpec("data")))
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            idx_map = sharding.addressable_devices_indices_map(x.shape)
+            shards = [
+                device_put_chunked(np.ascontiguousarray(x[idx]), device=d)
+                for d, idx in idx_map.items()
+            ]
+            xin = jax.make_array_from_single_device_arrays(
+                x.shape, sharding, shards)
         else:
+            if ndata > 1 and not getattr(self, "_dp_warned", False):
+                # silent replication would look like DP with zero speedup
+                log(f"batch {b} not divisible by data axis {ndata}; "
+                    f"serving replicated (use power-of-two data axes "
+                    f"that divide the batch buckets)")
+                self._dp_warned = True
             xin = device_put_chunked(x)
         out = eng(self.params, xin)
         if device_out:
