@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -149,9 +150,12 @@ class DepthServer:
             supports_device_out,
         )
 
+        # MDET_SERVE_SYNC=1 forces the synchronous worker (A/B measurement
+        # knob for the overlap win; scripts/hw_pending.sh load test)
+        force_sync = bool(os.environ.get("MDET_SERVE_SYNC"))
         self._dev_out: Dict[str, bool] = {}
         for name, p in self.pipes.items():
-            ok = supports_device_out(p)
+            ok = not force_sync and supports_device_out(p)
             if ok and hasattr(p, "batch_call"):
                 ok = supports_device_out(p.batch_call)
             self._dev_out[name] = ok

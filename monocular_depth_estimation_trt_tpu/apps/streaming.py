@@ -11,6 +11,7 @@ in place of the TRT engine.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 import time
 from typing import Callable, Optional
@@ -106,7 +107,10 @@ def run_video(
         tree_get_chunked,
     )
 
-    pipelined = supports_device_out(runner)
+    # MDET_VIDEO_SYNC=1 forces the synchronous path (A/B measurement knob
+    # for the overlap win; scripts/hw_pending.sh emits both rows)
+    pipelined = (supports_device_out(runner)
+                 and not os.environ.get("MDET_VIDEO_SYNC"))
     n = 0
     last_emit = None  # overlay FPS = emitted-frame period (true throughput)
 

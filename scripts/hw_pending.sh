@@ -76,5 +76,35 @@ for MB in 1 8; do
   sleep 3
 done
 
+# 6. pipelined-video A/B: wall-clock FPS with and without the one-in-
+#    flight readback overlap (MDET_VIDEO_SYNC=1 forces the old path)
+python - <<'PYEOF'
+import cv2, numpy as np
+w = cv2.VideoWriter("/tmp/hw_clip.mp4", cv2.VideoWriter_fourcc(*"mp4v"),
+                    30, (518, 518))
+rng = np.random.default_rng(0)
+for _ in range(120):
+    w.write(rng.integers(0, 255, (518, 518, 3), dtype=np.uint8))
+w.release()
+PYEOF
+for MODE in pipelined sync; do
+  SYNC=""; [ "$MODE" = sync ] && SYNC=1
+  timeout 2400 env MDET_VIDEO_SYNC=$SYNC python - <<PYEOF 2>&1 | tee /tmp/hw_video_$MODE.json
+import json, time
+from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+from monocular_depth_estimation_trt_tpu.weights.store import set_allow_random_weights
+from monocular_depth_estimation_trt_tpu.apps.streaming import run_video
+set_allow_random_weights(True)
+pipe = build_pipeline("depth_anything_v2", encoder="vits")
+run_video(pipe, "/tmp/hw_clip.mp4", "/tmp/hw_clip_out.mp4", max_frames=10)  # warm
+t0 = time.time()
+run_video(pipe, "/tmp/hw_clip.mp4", "/tmp/hw_clip_out.mp4")
+dt = time.time() - t0
+print(json.dumps({"metric": "video_wallclock_fps_$MODE",
+                  "value": round(120 / dt, 2), "unit": "fps"}))
+PYEOF
+done
+
 echo "[hw_pending] done — update docs/QUANT.md + docs/PERF.md 'pending' notes"
 echo "[hw_pending] serve load-test rows: /tmp/hw_loadtest_mb1.json /tmp/hw_loadtest_mb8.json"
+echo "[hw_pending] video A/B rows: /tmp/hw_video_pipelined.json /tmp/hw_video_sync.json"

@@ -619,3 +619,11 @@ def test_mixed_sync_async_models_under_concurrent_load():
         assert s["requests_by_model"]["beta"] == 20
     finally:
         ds.stop()
+
+
+def test_serve_sync_env_forces_synchronous_worker(monkeypatch):
+    """MDET_SERVE_SYNC=1 (the hardware A/B knob) disables the two-stage
+    worker even for device_out-capable pipelines."""
+    monkeypatch.setenv("MDET_SERVE_SYNC", "1")
+    ds = DepthServer(FakeBatchPipeline())
+    assert ds._dev_out == {"fake": False}

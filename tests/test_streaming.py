@@ -168,3 +168,27 @@ def test_run_flow_frames_pipelined_and_sync(tmp_path, rng):
         assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3  # 4 frames: 3 pairs
         cap.release()
     assert pipe.dev_out_seen == 3  # pipelined path actually taken
+
+
+def test_video_sync_env_forces_synchronous_path(tmp_path, rng, monkeypatch):
+    """MDET_VIDEO_SYNC=1 (the hardware A/B knob) serves device_out-capable
+    pipelines through the old synchronous path."""
+    vp = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    for _ in range(3):
+        writer.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    writer.release()
+
+    seen = []
+
+    class Pipe:
+        def __call__(self, rgb, viz=False, device_out=False):
+            seen.append(device_out)
+            return {"depth": rgb[..., 0].astype(np.float32),
+                    "viz": np.stack([rgb[..., 0]] * 3, -1)}
+
+    monkeypatch.setenv("MDET_VIDEO_SYNC", "1")
+    out = run_video(Pipe(), vp, str(tmp_path / "out.mp4"), max_frames=3)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    assert seen == [False, False, False]  # called WITHOUT device_out
