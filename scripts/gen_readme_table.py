@@ -63,6 +63,8 @@ META = {
                                   "`Depth_Anything_V2/`"),
     "depth_anything_ac_vits_b8": ("depth (batched offline serving)",
                                   "`Depth_Anything_AC/`"),
+    "depth_anything_v2_vitl_b4": ("depth (batched offline serving)",
+                                  "`Depth_Anything_V2/`"),
     "megasam": ("video SLAM (LM-BA solves/s)", "`later/MegaSaM`"),
     "vipe": ("video pose engine (LM-BA solves/s)", "`later/VIPE`"),
     "wildgs_slam": ("splat-SLAM (mapping steps/s)", "`later/WildGS-SLAM`"),
