@@ -195,13 +195,19 @@ class DepthServer:
             pipe(np.zeros((h, w, 3), np.uint8), viz=False)
             self._warm.update({(name, 1, True), (name, 1, False)})
             cap = self.max_batch_by[name]
-            if cap > 1:
-                # largest bucket in BOTH viz modes (a batch serves viz=True
-                # iff any job wants jpg); intermediate buckets compile lazily
-                frames = np.zeros((cap, h, w, 3), np.uint8)
+            # EVERY power-of-two bucket in BOTH viz modes (a batch serves
+            # viz=True iff any job wants jpg). Warming only the largest
+            # bucket left b2/b4 to compile mid-traffic, which stalls the
+            # worker for minutes and 504s the queue behind it (measured:
+            # hw_pending load test, p99 24 s) — log2(cap)+1 programs total,
+            # all cache hits after the first server start.
+            b = 2
+            while b <= cap:
+                frames = np.zeros((b, h, w, 3), np.uint8)
                 pipe.batch_call(frames, viz=False)
                 pipe.batch_call(frames, viz=True)
-                self._warm.update({(name, cap, True), (name, cap, False)})
+                self._warm.update({(name, b, True), (name, b, False)})
+                b *= 2
             log(f"server warmup: engine ready "
                 f"({pipe.spec.artifact_name()} @ {h}x{w}"
                 + (f", max_batch={cap}" if cap > 1 else "") + ")")

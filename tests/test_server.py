@@ -627,3 +627,17 @@ def test_serve_sync_env_forces_synchronous_worker(monkeypatch):
     monkeypatch.setenv("MDET_SERVE_SYNC", "1")
     ds = DepthServer(FakeBatchPipeline())
     assert ds._dev_out == {"fake": False}
+
+
+def test_warmup_compiles_every_batch_bucket():
+    """Warmup must touch EVERY power-of-two bucket (both viz modes), not
+    just b1 and the cap — a bucket first compiled mid-traffic stalls the
+    worker for a full engine build and 504s the queue behind it (observed
+    in the hardware load test before this was fixed)."""
+    pipe = FakeBatchPipeline()
+    ds = DepthServer(pipe, max_batch=8)
+    ds.warmup()
+    assert sorted(pipe.batch_sizes) == [2, 2, 4, 4, 8, 8]
+    for b in (1, 2, 4, 8):
+        assert (("fake", b, True) in ds._warm
+                and ("fake", b, False) in ds._warm)
