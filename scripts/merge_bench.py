@@ -8,13 +8,55 @@ record. This helper replaces/appends rows by their `model` tag instead:
 
 Rows with an `error` field never overwrite a previous good row (a TPU-worker
 flake must not erase a real measurement).
+
+Every merge also re-stamps each row's `fidelity` from the live registry:
+fidelity is registry metadata joined into the row at bench time, so a family
+promoted after its last hardware run (e.g. bridge/litevggt in round 3) must
+not stay stale in the raw JSON. Measurements are never touched.
+
+    python scripts/merge_bench.py --refresh-fidelity [BENCH_ALL.json]
+
+re-stamps without merging anything.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# `python scripts/merge_bench.py` puts scripts/ (not the repo root) on
+# sys.path; the registry import below needs the root.
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def _live_fidelity(tag: str):
+    """Registry fidelity for a bench-row tag (``vggt_s2`` -> entry ``vggt``);
+    None when the tag matches no registry entry or the package can't import."""
+    try:
+        from monocular_depth_estimation_trt_tpu.registry import (
+            get_fidelity,
+            list_models,
+        )
+    except Exception:
+        return None
+    for name in sorted(list_models(), key=len, reverse=True):
+        if tag == name or tag.startswith(name + "_"):
+            return get_fidelity(name)
+    return None
+
+
+def refresh_fidelity(rows: list) -> int:
+    """Re-stamp ``fidelity`` on each row from the live registry. Returns the
+    number of rows whose tag changed."""
+    changed = 0
+    for row in rows:
+        fid = _live_fidelity(row.get("model", ""))
+        if fid and row.get("fidelity") != fid:
+            row["fidelity"] = fid
+            changed += 1
+    return changed
 
 
 def merge(partial_path: str, all_path: str = "BENCH_ALL.json") -> int:
@@ -38,13 +80,28 @@ def merge(partial_path: str, all_path: str = "BENCH_ALL.json") -> int:
             full["results"][i] = row
             replaced += 1
 
+    restamped = refresh_fidelity(full["results"])
     full["timestamp"] = time.time()
     with open(all_path, "w") as f:
         json.dump(full, f, indent=2)
     print(f"[merge_bench] {all_path}: {replaced} replaced, {appended} "
-          f"appended, {skipped} error rows skipped")
+          f"appended, {skipped} error rows skipped, "
+          f"{restamped} fidelity tags refreshed")
+    return 0
+
+
+def refresh_only(all_path: str = "BENCH_ALL.json") -> int:
+    with open(all_path) as f:
+        full = json.load(f)
+    restamped = refresh_fidelity(full["results"])
+    if restamped:
+        with open(all_path, "w") as f:
+            json.dump(full, f, indent=2)
+    print(f"[merge_bench] {all_path}: {restamped} fidelity tags refreshed")
     return 0
 
 
 if __name__ == "__main__":
+    if sys.argv[1:2] == ["--refresh-fidelity"]:
+        sys.exit(refresh_only(*sys.argv[2:]))
     sys.exit(merge(*sys.argv[1:]))

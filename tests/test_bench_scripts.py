@@ -50,6 +50,33 @@ def test_merge_error_row_lands_when_no_prior_good_row(tmp_path):
     assert out["results"][0]["error"] == "boom"
 
 
+def test_merge_refreshes_stale_fidelity_from_registry(tmp_path):
+    """Fidelity is registry metadata joined into the row at bench time; a
+    family promoted after its last hardware run (bridge/litevggt in round 3)
+    must be re-stamped on merge without touching any measurement."""
+    mb = _load("merge_bench")
+    live = mb._live_fidelity("bridge_vits")
+    assert live == "converter-verified"  # the registry is the source of truth
+
+    full = {"timestamp": 1.0, "results": [
+        {"model": "bridge_vits", "fps": 256.11,
+         "fidelity": "architecture-matched"},      # stale: benched pre-promotion
+        {"model": "not_a_registry_tag", "fps": 1.0,
+         "fidelity": "approximated"},               # unknown tag: left alone
+    ]}
+    fp, pp = tmp_path / "all.json", tmp_path / "part.json"
+    fp.write_text(json.dumps(full))
+    pp.write_text(json.dumps({"results": []}))
+    mb.merge(str(pp), str(fp))
+    rows = {r["model"]: r for r in json.loads(fp.read_text())["results"]}
+    assert rows["bridge_vits"]["fidelity"] == "converter-verified"
+    assert rows["bridge_vits"]["fps"] == 256.11
+    assert rows["not_a_registry_tag"]["fidelity"] == "approximated"
+
+    # --refresh-fidelity entry: idempotent second pass reports nothing to do
+    assert mb.refresh_fidelity(json.loads(fp.read_text())["results"]) == 0
+
+
 def test_gen_readme_table_rewrites_between_markers(tmp_path, monkeypatch):
     gt = _load("gen_readme_table")
     bench = {"results": [
