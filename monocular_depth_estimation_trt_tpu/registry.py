@@ -630,9 +630,17 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         model="metric3d_v2", encoder=encoder, input_hw=canvas,
         precision=precision, metric=True,
     )
-    # int8 = w8a8 encoder serving (ops/quant.py): ViT-L at 616x1064 is the
-    # compute-bound end of the zoo where the int8 MXU's 2x TOPS pays most
+    # int8 = w8a8 encoder serving (ops/quant.py). Measured NEGATIVE for this
+    # family (21.33 vs 22.61 bf16 FPS, docs/QUANT.md): the RAFT-style
+    # iterative head's small matmuls pay more in quant/rescale epilogues than
+    # the int8 MXU saves. Kept available (accuracy gates pass) but warned.
     quant = precision == "int8"
+    if quant:
+        from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+        log("metric3d_v2: int8 measured SLOWER than bf16 on TPU v5e "
+            "(0.94x, docs/QUANT.md) — use bf16 unless you need the "
+            "int8 memory footprint")
     model = Metric3DV2(
         encoder=encoder, iters=iters,
         dtype=compute_dtype("bf16" if quant else precision),
