@@ -639,8 +639,9 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         from monocular_depth_estimation_trt_tpu.utils.logging import log
 
         log("metric3d_v2: int8 measured SLOWER than bf16 on TPU v5e "
-            "(0.94x, docs/QUANT.md) — use bf16 unless you need the "
-            "int8 memory footprint")
+            "(0.94x on vitl@616x1064, docs/QUANT.md; other encoders "
+            "unmeasured) — use bf16 unless you need the int8 memory "
+            "footprint")
     model = Metric3DV2(
         encoder=encoder, iters=iters,
         dtype=compute_dtype("bf16" if quant else precision),

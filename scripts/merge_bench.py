@@ -14,6 +14,12 @@ fidelity is registry metadata joined into the row at bench time, so a family
 promoted after its last hardware run (e.g. bridge/litevggt in round 3) must
 not stay stale in the raw JSON. Measurements are never touched.
 
+Invariant this relies on: fidelity promotions are label-only (documentation
+of reconstruction confidence) — they never change the measured architecture
+or perf path. If a future promotion ships code changes, the FPS row predates
+them; the original tag is preserved as `fidelity_at_bench` on first restamp
+so rows stay auditable.
+
     python scripts/merge_bench.py --refresh-fidelity [BENCH_ALL.json]
 
 re-stamps without merging anything.
@@ -31,15 +37,25 @@ import time
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
+_REGISTRY_WARNED = False
+
+
 def _live_fidelity(tag: str):
     """Registry fidelity for a bench-row tag (``vggt_s2`` -> entry ``vggt``);
-    None when the tag matches no registry entry or the package can't import."""
+    None when the tag matches no registry entry or the package can't import
+    (the latter is warned once — a silent None here would make a broken
+    package indistinguishable from 'nothing was stale')."""
+    global _REGISTRY_WARNED
     try:
         from monocular_depth_estimation_trt_tpu.registry import (
             get_fidelity,
             list_models,
         )
-    except Exception:
+    except Exception as exc:
+        if not _REGISTRY_WARNED:
+            _REGISTRY_WARNED = True
+            print(f"[merge_bench] WARNING: registry unavailable ({exc!r}) — "
+                  "fidelity tags NOT refreshed", file=sys.stderr)
         return None
     for name in sorted(list_models(), key=len, reverse=True):
         if tag == name or tag.startswith(name + "_"):
@@ -54,6 +70,7 @@ def refresh_fidelity(rows: list) -> int:
     for row in rows:
         fid = _live_fidelity(row.get("model", ""))
         if fid and row.get("fidelity") != fid:
+            row.setdefault("fidelity_at_bench", row.get("fidelity"))
             row["fidelity"] = fid
             changed += 1
     return changed
