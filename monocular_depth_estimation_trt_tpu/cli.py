@@ -1315,6 +1315,7 @@ def cmd_convert(args) -> int:
         UnconsumedKeysError,
     )
     from monocular_depth_estimation_trt_tpu.weights.store import (
+        MissingCheckpointError,
         resolve_checkpoint,
     )
 
@@ -1326,10 +1327,38 @@ def cmd_convert(args) -> int:
     try:
         path = resolve_checkpoint(args.checkpoint)
         log(f"checkpoint resolves to {path}")
+        if getattr(args, "verify_manifest", False):
+            from monocular_depth_estimation_trt_tpu.weights.convert import (
+                load_torch_state_dict,
+            )
+            from monocular_depth_estimation_trt_tpu.weights.manifest import (
+                format_report,
+                load_manifest,
+                manifest_key,
+                verify_state_dict,
+            )
+
+            key = manifest_key(args.model, args.encoder)
+            manifest = load_manifest(key) or load_manifest(
+                manifest_key(args.model))
+            if manifest is None:
+                log(f"no manifest for '{key}' (weights/manifests/); "
+                    "regenerate with scripts/gen_manifests.py", tag="ERROR")
+                return 2
+            rep = verify_state_dict(load_torch_state_dict(path), manifest)
+            log("\n" + format_report(rep))
+            if not rep["ok"]:
+                return 2
         build_pipeline(args.model, checkpoint=args.checkpoint, **kw)
     except UnconsumedKeysError as e:
         log(str(e), tag="ERROR")
         return 1
+    except MissingCheckpointError as e:
+        # exit 3 = "checkpoint unavailable" (offline / not mirrored) —
+        # distinct from a layout mismatch so scripts/validate_real_ckpts.sh
+        # can skip instead of fail
+        log(str(e), tag="ERROR")
+        return 3
     finally:
         os.environ.pop("MDET_CONVERT_REPORT_ONLY", None)
     log("conversion OK")
@@ -1708,6 +1737,12 @@ def build_parser() -> argparse.ArgumentParser:
     convert.add_argument("--report", action="store_true",
                          help="print the consumed/unconsumed key audit and "
                          "write nothing")
+    convert.add_argument("--verify-manifest", action="store_true",
+                         dest="verify_manifest",
+                         help="diff the checkpoint's tensor names/shapes "
+                         "against the family's committed expected-key "
+                         "manifest (weights/manifests/) BEFORE converting; "
+                         "exit 2 on layout mismatch")
     convert.set_defaults(fn=cmd_convert)
 
     dist = sub.add_parser(
