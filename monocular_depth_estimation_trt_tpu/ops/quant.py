@@ -32,6 +32,7 @@ quantify the residual error against the bf16 graph (gated in
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -39,6 +40,25 @@ import jax
 import jax.numpy as jnp
 
 _QMAX = 127.0
+
+
+def _use_fused_w8a8(d_in: int, features: int) -> bool:
+    """Route serve-mode matmuls to the fused Pallas w8a8 kernel.
+
+    ``MDET_W8A8_IMPL``: "pallas" forces on (interpret mode off-TPU, for
+    tests), "xla" forces the unfused lax path, "auto" (default) uses the
+    kernel on TPU for shapes it supports (``w8a8_supported``).
+    """
+    impl = os.environ.get("MDET_W8A8_IMPL", "auto")
+    if impl == "xla":
+        return False
+    from monocular_depth_estimation_trt_tpu.ops.pallas.quant_matmul import (
+        w8a8_supported,
+    )
+
+    if not w8a8_supported(d_in, features):
+        return False
+    return impl == "pallas" or jax.default_backend() == "tpu"
 
 
 class QuantDense(nn.Module):
@@ -125,6 +145,17 @@ class QuantDense(nn.Module):
                 "q8", "out_scale",
                 lambda: jnp.ones((self.features,), jnp.float32)
             ).value
+            if _use_fused_w8a8(d_in, self.features):
+                # one-program quantize + int8 dot + rescale (+bias) —
+                # ops/pallas/quant_matmul.py; weights stream from HBM once
+                from monocular_depth_estimation_trt_tpu.ops.pallas.quant_matmul import (  # noqa: E501
+                    w8a8_matmul,
+                )
+
+                return w8a8_matmul(
+                    x, kernel_q, qmul, out_scale, bias,
+                    out_dtype=self.dtype,
+                )
             x_q = jnp.clip(
                 jnp.round(x.astype(jnp.float32) * qmul), -_QMAX, _QMAX
             ).astype(jnp.int8)
