@@ -74,21 +74,23 @@ class DepthPipeline:
     def apply_mesh(self, mesh, rules=None) -> "DepthPipeline":
         """Shard this pipeline's params over a device mesh (in place).
 
-        ``rules`` defaults to the ViT tensor-parallel table
-        (``parallel/sharding.py::vit_tp_rules``): column-parallel qkv/fc1,
-        row-parallel proj/fc2 over the ``model`` axis; everything else
-        replicated. On a 1-device mesh every spec collapses to replication —
-        the same program runs unsharded (single-chip parity). Engines built
-        afterwards inherit the shardings through jit's input-sharding
-        propagation; already-built engines are dropped.
+        ``rules`` defaults to this family's table
+        (``parallel/sharding.py::rules_for_family``): ViT tensor parallelism
+        (column-parallel qkv/fc1, row-parallel proj/fc2 over the ``model``
+        axis) plus per-family decoder rules — cross-attention TP for the
+        geometric family, DPT-neck/GRU channel split for Metric3D; everything
+        else replicated. On a 1-device mesh every spec collapses to
+        replication — the same program runs unsharded (single-chip parity).
+        Engines built afterwards inherit the shardings through jit's
+        input-sharding propagation; already-built engines are dropped.
         """
         if mesh is None:
             return self
         from monocular_depth_estimation_trt_tpu.parallel.sharding import (
-            vit_tp_rules,
+            rules_for_family,
         )
 
-        rules = rules or vit_tp_rules()
+        rules = rules or rules_for_family(getattr(self.spec, "model", None))
         self.params = rules.apply(mesh, self.params)
         self._engines.clear()
         self.mesh = mesh
