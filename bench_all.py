@@ -79,6 +79,16 @@ VIEWS_SUITE = [
     ("vggt", {"depth_only": True}, 8),
 ]
 
+# Video end-to-end rows: decode -> flow -> color-wheel MP4 over the committed
+# fixture data/example_video.mp4 (the reference's video loop,
+# RAFT/onnx2trt.py:150-196, gen_video2imgs.py). Wall-clock FPS including
+# host decode + MP4 encode — the honest serving number, unlike the
+# device-resident SUITE rows. (model, build kwargs)
+VIDEO_SUITE = [
+    ("raft", {}),
+]
+
+
 # Int8 w8a8 static-calibration serving rows (ops/quant.py; the reference's
 # TRT engines are fp16-only — no INT8 calibrator exists in the reference).
 # vitl is the compute-bound end where the int8 MXU's 2x TOPS can pay;
@@ -92,6 +102,38 @@ QUANT_SUITE = [
     # largest weight footprint (~1B): int8 halves resident+streamed weights
     ("vggt", {"depth_only": True, "precision": "int8"}, (518, 518)),
 ]
+
+
+# v5e single-chip roofs (same constants as scripts/roofline.py)
+PEAK_TFLOPS = 197e12
+PEAK_HBM = 819e9
+
+
+def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
+    """Roofline %-of-bound for the engine a benchmark just ran.
+
+    Makes "fast" falsifiable for the 19 staged families that have no
+    published TRT baseline (round-3 verdict item 5): the bound is the XLA
+    cost-analysis roofline max(flops/peak, bytes/HBM) of the COMPILED
+    program — authoritative for that program, so pct_of_roof says how close
+    the measured rate is to the chip's own ceiling for this exact graph.
+    Returns (pct, bound_ms) or (None, None) when cost analysis is missing.
+    """
+    try:
+        eng = next(iter(pipe._engines.values()))
+        ca = eng.cost_analysis() or {}
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0) or 0.0)
+        byts = float(ca.get("bytes accessed", 0.0) or 0.0)
+        if flops <= 0 and byts <= 0:
+            return None, None
+        # bound and avg_seconds are both whole-program (all `frames` frames)
+        bound_s = max(flops / PEAK_TFLOPS, byts / PEAK_HBM)
+        return (round(100.0 * bound_s / avg_seconds, 1),
+                round(bound_s / max(frames, 1) * 1e3, 3))
+    except Exception:
+        return None, None
 
 
 def _run_isolated(tag: str, quick: bool, retries: int = 2) -> dict:
@@ -154,12 +196,15 @@ def main() -> None:
         ] + [
             f"{name}_s{s}" for name, _, s in VIEWS_SUITE
         ] + [
+            f"{name}_video" for name, _ in VIDEO_SUITE
+        ] + [
             name + ("_" + kw["encoder"] if kw.get("encoder") else "")
             + "_int8"
             for name, kw, _ in QUANT_SUITE
         ]
         names = ([s[0] for s in SUITE] + [s[0] for s in BATCHED_SUITE]
-                 + [s[0] for s in VIEWS_SUITE] + [s[0] for s in QUANT_SUITE])
+                 + [s[0] for s in VIEWS_SUITE] + [s[0] for s in VIDEO_SUITE]
+                 + [s[0] for s in QUANT_SUITE])
         for name, tag in zip(names, tags):
             if subset and name not in subset and tag not in subset:
                 continue
@@ -211,6 +256,9 @@ def main() -> None:
                 "speedup_vs_trt": round(rep.fps / baseline, 2) if baseline else None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
             }
+            pct, bound_ms = _pct_of_roof(pipe, rep.avg_seconds)
+            row["pct_of_roof"] = pct
+            row["roofline_bound_ms"] = bound_ms
         except Exception as e:  # keep the suite running
             row = {"model": tag, "error": repr(e)[:200]}
         results.append(row)
@@ -250,6 +298,9 @@ def main() -> None:
                 "speedup_vs_trt": None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
             }
+            pct, bound_ms = _pct_of_roof(pipe, rep.avg_seconds, frames=batch)
+            row["pct_of_roof"] = pct
+            row["roofline_bound_ms"] = bound_ms
         except Exception as e:
             row = {"model": tag, "error": repr(e)[:200]}
         results.append(row)
@@ -274,6 +325,54 @@ def main() -> None:
                 "baseline_trt_fps": None,
                 "speedup_vs_trt": None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
+            }
+            pct, bound_ms = _pct_of_roof(pipe, rep.avg_seconds, frames=s)
+            row["pct_of_roof"] = pct
+            row["roofline_bound_ms"] = bound_ms
+        except Exception as e:
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    for name, kw in VIDEO_SUITE:
+        tag = f"{name}_video"
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            import tempfile
+
+            from monocular_depth_estimation_trt_tpu.apps.streaming import (
+                extract_frames_from_video,
+                run_flow_frames,
+            )
+
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "data", "example_video.mp4")
+            with tempfile.TemporaryDirectory() as td:
+                frames_dir = os.path.join(td, "frames")
+                extract_frames_from_video(fixture, frames_dir)
+                out_mp4 = os.path.join(td, f"{name}_flow.mp4")
+                # warm run compiles + materializes the transfer paths
+                run_flow_frames(pipe, frames_dir, out_mp4, max_pairs=2)
+                build_s = time.time() - t0
+                t1 = time.time()
+                run_flow_frames(pipe, frames_dir, out_mp4)
+                wall = time.time() - t1
+                n_pairs = len(os.listdir(frames_dir)) - 1
+                assert os.path.getsize(out_mp4) > 0
+            row = {
+                "model": tag,
+                "input_hw": [288, 512],
+                "frames": n_pairs,
+                "fps": round(n_pairs / wall, 2),
+                "avg_ms": round(wall / n_pairs * 1e3, 2),
+                "note": "end-to-end video: host decode + flow + MP4 encode",
+                "fidelity": get_fidelity(name),
+                "baseline_trt_fps": None,
+                "speedup_vs_trt": None,
+                "build_s": round(build_s, 1),
             }
         except Exception as e:
             row = {"model": tag, "error": repr(e)[:200]}

@@ -101,3 +101,39 @@ def test_gen_readme_table_rewrites_between_markers(tmp_path, monkeypatch):
     assert "1.50× vs bf16" in text
     assert "`neuflow` is missing from this run" in text
     assert text.startswith("head\n") and text.endswith("tail\n")
+
+
+def test_pct_of_roof_from_fake_engine():
+    """bench_all._pct_of_roof: roofline %-of-bound from an engine's XLA cost
+    analysis (round-3 verdict item 5 — falsifiable 'fast' for baseline-less
+    rows)."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "bench_all", os.path.join(root, "bench_all.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    class FakeEng:
+        def cost_analysis(self):
+            # memory-bound program: 819 MB accessed -> bound = 1 ms
+            return {"flops": 1e9, "bytes accessed": 819e6}
+
+    class FakePipe:
+        _engines = {"k": FakeEng()}
+
+    # measured 2 ms against a 1 ms bound -> 50% of roof
+    pct, bound_ms = mod._pct_of_roof(FakePipe(), 2e-3)
+    assert bound_ms == 1.0 and pct == 50.0
+    # batched program: bound_ms reported per frame, pct unchanged
+    pct_b, bound_b = mod._pct_of_roof(FakePipe(), 2e-3, frames=4)
+    assert pct_b == 50.0 and bound_b == 0.25
+    # engines without cost analysis degrade to (None, None)
+
+    class NoCa:
+        def cost_analysis(self):
+            return {}
+
+    class NoPipe:
+        _engines = {"k": NoCa()}
+
+    assert mod._pct_of_roof(NoPipe(), 2e-3) == (None, None)
