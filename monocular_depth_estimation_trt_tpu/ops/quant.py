@@ -45,9 +45,13 @@ _QMAX = 127.0
 def _use_fused_w8a8(d_in: int, features: int) -> bool:
     """Route serve-mode matmuls to the fused Pallas w8a8 kernel.
 
-    ``MDET_W8A8_IMPL``: "pallas" forces on (interpret mode off-TPU, for
-    tests), "xla" forces the unfused lax path, "auto" (default) uses the
-    kernel on TPU for shapes it supports (``w8a8_supported``).
+    ``MDET_W8A8_IMPL``: "pallas" forces on for every supported shape
+    (interpret mode off-TPU, for tests), "xla" forces the unfused lax path,
+    "auto" (default) uses the kernel on TPU only where it measures faster
+    than XLA's fusion: contraction-heavy layers (K > N, e.g. the MLP's fc2)
+    where keeping the quantized (M, K) activation out of HBM pays. For
+    K <= N (qkv/fc1) XLA's own epilogue fusion wins — measured table in
+    docs/QUANT.md (scripts/w8a8_bench.py).
     """
     impl = os.environ.get("MDET_W8A8_IMPL", "auto")
     if impl == "xla":
@@ -58,7 +62,9 @@ def _use_fused_w8a8(d_in: int, features: int) -> bool:
 
     if not w8a8_supported(d_in, features):
         return False
-    return impl == "pallas" or jax.default_backend() == "tpu"
+    if impl == "pallas":
+        return True
+    return d_in > features and jax.default_backend() == "tpu"
 
 
 class QuantDense(nn.Module):

@@ -92,6 +92,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--encoder", default="vitl")
     ap.add_argument("--attn", default="auto")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batch the encoder/head/scan stages (b1-vs-bN "
+                    "localizes where `mdet batch` loses its roofline win); "
+                    "stage times are whole-batch — divide by B for "
+                    "per-frame")
     ap.add_argument(
         "--stages",
         default=("full,encoder,head,block_scan,attn_scan,mlp_scan,"
@@ -143,17 +148,18 @@ def main() -> None:
     rows: list = []
 
     rng = np.random.default_rng(0)
+    bsz = max(args.batch, 1)
     img_u8 = jax.device_put(
         rng.integers(0, 255, (hw, hw, 3), dtype=np.uint8))
     x_pre = jax.device_put(
-        (rng.standard_normal((1, hw, hw, 3)) * 0.5).astype(np.float32)
+        (rng.standard_normal((bsz, hw, hw, 3)) * 0.5).astype(np.float32)
     ).astype(dt)
     tokens = jax.device_put(
-        rng.standard_normal((1, n_tokens, cfg.dim)).astype(np.float32)
+        rng.standard_normal((bsz, n_tokens, cfg.dim)).astype(np.float32)
     ).astype(dt)
 
     if "full" in want:
-        eng = pipe.batch_engine_for((hw, hw), 1)
+        eng = pipe.batch_engine_for((hw, hw), bsz)
         eng.compile()
         flops, byts = (lambda ca: (
             float((ca[0] if isinstance(ca, (list, tuple)) else ca).get("flops", 0)),
@@ -273,7 +279,7 @@ def main() -> None:
         w_proj = (jax.random.normal(ks[1], (d, d)) * 0.02).astype(dt)
         w_fc1 = (jax.random.normal(ks[2], (d, 4 * d)) * 0.02).astype(dt)
         w_fc2 = (jax.random.normal(ks[3], (4 * d, d)) * 0.02).astype(dt)
-        x2d = tokens[0]
+        x2d = tokens.reshape(-1, cfg.dim)  # (B*N, d): one big matmul M
 
         def dense_chain(ws, x):
             wq, wp, w1, w2 = ws
@@ -291,7 +297,7 @@ def main() -> None:
 
     if "attn_kernel" in want:
         hd = cfg.dim // cfg.num_heads
-        q = tokens.reshape(1, n_tokens, cfg.num_heads, hd)
+        q = tokens.reshape(bsz, n_tokens, cfg.num_heads, hd)
         q = jnp.swapaxes(q, 1, 2)
         from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
             attention_reference,

@@ -115,7 +115,7 @@ def layer_rows(iters, rows):
         rows.append(row)
 
 
-def e2e_rows(iters, encoder, rows):
+def e2e_rows(iters, encoder, rows, batch=1):
     import jax
     import numpy as np
 
@@ -131,29 +131,30 @@ def e2e_rows(iters, encoder, rows):
     hw = 518
 
     variants = [("bf16", "bf16", None), ("int8_xla", "int8", "xla"),
-                ("int8_pallas", "int8", "pallas")]
+                ("int8_auto", "int8", "auto")]
     out = {}
     for label, precision, impl in variants:
         if impl is not None:
             os.environ["MDET_W8A8_IMPL"] = impl
         pipe = build_pipeline("depth_anything_v2", encoder=encoder,
                               precision=precision)
-        eng = pipe.batch_engine_for((hw, hw), 1)
+        eng = pipe.batch_engine_for((hw, hw), batch)
         eng.compile()
         frames = jax.device_put(rng.integers(
             0, 255, eng._example_args[1].shape, dtype=np.uint8))
         rep = benchmark(lambda f: eng(eng._example_args[0], f), (frames,),
                         config=BenchmarkConfig(warmup=4, iterations=iters),
                         name=f"e2e:{label}")
-        out[label] = rep.avg_seconds
+        out[label] = rep.avg_seconds / batch  # per-frame seconds
         os.environ.pop("MDET_W8A8_IMPL", None)
     row = {
-        "level": "e2e", "config": f"depth_anything_v2 {encoder} @{hw}²",
+        "level": "e2e",
+        "config": f"depth_anything_v2 {encoder} @{hw}² b{batch}",
         "bf16_fps": round(1.0 / out["bf16"], 2),
         "int8_xla_fps": round(1.0 / out["int8_xla"], 2),
-        "int8_pallas_fps": round(1.0 / out["int8_pallas"], 2),
-        "pallas_vs_bf16": round(out["bf16"] / out["int8_pallas"], 2),
-        "pallas_vs_xla": round(out["int8_xla"] / out["int8_pallas"], 2),
+        "int8_auto_fps": round(1.0 / out["int8_auto"], 2),
+        "auto_vs_bf16": round(out["bf16"] / out["int8_auto"], 2),
+        "auto_vs_xla": round(out["int8_xla"] / out["int8_auto"], 2),
     }
     print(json.dumps(row), flush=True)
     rows.append(row)
@@ -164,6 +165,7 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--level", default="layer,e2e")
     ap.add_argument("--encoder", default="vitl")
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     from monocular_depth_estimation_trt_tpu.runtime.cache import (
@@ -176,7 +178,7 @@ def main() -> None:
     if "layer" in levels:
         layer_rows(args.iters, rows)
     if "e2e" in levels:
-        e2e_rows(args.iters, args.encoder, rows)
+        e2e_rows(args.iters, args.encoder, rows, batch=args.batch)
     print("\n[w8a8_bench] done; rows above are JSON — paste into docs/QUANT.md")
 
 
