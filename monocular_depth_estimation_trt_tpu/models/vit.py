@@ -118,6 +118,39 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = make_dense(self.quant, self.dim * 3, use_bias=self.qkv_bias,
                          dtype=self.dtype, name="qkv")(x)
+
+        from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+            packed_supported,
+        )
+
+        # Packed-layout fast path: attention straight from the qkv matmul's
+        # (B, N, 3*H*d) output to the proj matmul's (B, N, H*d) input. The
+        # (B,H,N,d) path below pays ~6 HBM layout round-trips per layer
+        # (measured 100+ MB/layer on ViT-L, scripts/roofline_vitl.py) on a
+        # program already at the HBM roof — this path has none of them.
+        # auto-routing (measured v5e, 2026-08 scripts/vits_attn_ab.py +
+        # roofline_vitl.py): packed wins for the wide encoders (vitl full
+        # 16.51 -> 14.79 ms; the layout chain it deletes is ~3 GB/frame),
+        # but LOSES on vits (228.6 vs 249.7 FPS same-window) — at 6 heads /
+        # 12 layers XLA's fully-fused attention beats the custom-call
+        # boundary. Same >=12-head gate the flash kernel earned in round 3.
+        use_packed = (
+            self.attn_impl in ("packed", "auto")
+            and rope is None
+            and packed_supported(self.num_heads, head_dim, n)
+            and (self.attn_impl == "packed"
+                 or (jax.default_backend() == "tpu"
+                     and self.num_heads >= 12))
+        )
+        if use_packed:
+            from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+                flash_attention_packed,
+            )
+
+            o = flash_attention_packed(qkv, self.num_heads)
+            return make_dense(self.quant, self.dim, use_bias=True,
+                              dtype=self.dtype, name="proj")(o)
+
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # (B, N, H, d) each
         q = jnp.swapaxes(q, 1, 2)  # (B, H, N, d)

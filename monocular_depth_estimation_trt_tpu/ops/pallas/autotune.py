@@ -162,20 +162,41 @@ def _measure(bh: int, n_pad: int, d_pad: int, dtype) -> int:
     return best or default_block(n_pad, d_pad, bh)
 
 
-def best_block(bh: int, n_pad: int, d_pad: int, dtype) -> int:
-    """Resolve the q-block for a padded attention shape (trace-time)."""
+def best_block(bh: int, n_pad: int, d_pad: int, dtype,
+               kind: str = "bhnd") -> int:
+    """Resolve the q-block for a padded attention shape (trace-time).
+
+    ``kind``: "bhnd" = the (B,H,N,d) kernels; "packed" = the packed-qkv
+    layout kernel (its own cache keyspace — measured optima differ: packed
+    whole-N was best on ViT-L where the per-head kernel preferred N/2)."""
     key = f"bh{bh}_n{n_pad}_d{d_pad}"
+    if kind != "bhnd":
+        key = f"{kind}_{key}"
     cache = _load_cache()
     if key in cache:
         return cache[key]
     import jax
 
     if (
-        os.environ.get("MDET_AUTOTUNE", "0") == "1"
+        kind == "bhnd"
+        and os.environ.get("MDET_AUTOTUNE", "0") == "1"
         and jax.default_backend() == "tpu"
     ):
         blk = _measure(bh, n_pad, d_pad, dtype)
         cache[key] = blk
         _save_cache()
         return blk
+    if kind == "packed":
+        # measured on v5e (2026-08, /tmp/packed_sweep): whole-N 174.5 us vs
+        # q352 176.2 vs q704 213.4 per ViT-L layer — whole-N wins while the
+        # fp32 score tile (+exp buffer) fits VMEM; larger N takes the biggest
+        # legal q-block under the same ~10 MB budget
+        # budget: the fp32 score tile (exp runs in place on it — whole-N at
+        # ViT-L's 1408 = 7.9 MB measured-good on hardware)
+        if n_pad * n_pad * 4 <= 10 * 1024 * 1024:
+            return n_pad
+        blk = n_pad
+        while blk > 128 and (n_pad % blk or blk * n_pad * 4 > 10 * 1024 * 1024):
+            blk //= 2
+        return max(blk, 128)
     return default_block(n_pad, d_pad, bh)

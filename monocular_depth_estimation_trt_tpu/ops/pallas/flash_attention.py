@@ -269,6 +269,135 @@ def flash_attention(
     return out[:, :, :n, :d]
 
 
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                        valid_len: int, head_dim: int):
+    """Packed-layout kernel: one program = one q-block x one 128-lane block
+    of the qkv matrix (= ``128 // head_dim`` heads). Blocks are lane-slices
+    of the SAME (N_pad, 3*H*d) array — no transposed/padded per-head q/k/v
+    tensors ever exist in HBM."""
+    q = q_ref[...]  # (blk_q, 128)
+    k = k_ref[...]  # (n_pad, 128)
+    v = v_ref[...]
+    n = k.shape[0]
+    outs = []
+    for h in range(q.shape[1] // head_dim):
+        lo = h * head_dim
+        qh = q[:, lo:lo + head_dim]
+        kh = k[:, lo:lo + head_dim]
+        vh = v[:, lo:lo + head_dim]
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (blk_q, n_pad) fp32
+        if valid_len < n:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        # normalize AFTER the PV dot: one divide per (row, head_dim) output
+        # element instead of per (row, key) score element — 22x less VPU
+        # work at N=1408/d=64 (flash-attention's usual deferred epilogue)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / denom)
+    o_ref[...] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def packed_supported(num_heads: int, head_dim: int, n: int,
+                     rope: bool = False) -> bool:
+    """Shapes the packed-qkv kernel serves: head pairs must tile the 128-lane
+    blocks (d=64, even heads — every DINOv2/VGGT encoder in the zoo), rope
+    must be off (rope rewrites q/k between the matmul and the kernel), and
+    the fp32 score tile for the whole-N regime must fit VMEM (long-sequence
+    VGGT S>=4 shapes keep the head-chunked (B,H,N,d) path)."""
+    return (head_dim == 64 and num_heads % 2 == 0 and not rope
+            and 1024 <= n <= 4096)
+
+
+def flash_attention_packed(
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    scale: Optional[float] = None,
+    blk_q: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention straight from the packed qkv projection: ``(B, N, 3*H*d)``
+    (the qkv matmul's native output, q|k|v regions each H*d wide, head-major)
+    -> ``(B, N, H*d)`` (the proj matmul's native input).
+
+    The (B,H,N,d) kernels pay ~6 HBM layout round-trips per layer around the
+    Pallas call (reshape/moveaxis/2x swapaxes/3x pad + output unpad/transpose
+    — measured 100+ MB/layer on ViT-L, scripts/roofline_vitl.py); at 24
+    layers that is ~2.5 GB/frame of pure layout traffic on a program that is
+    memory-bound at the HBM roof. This variant's blocks are lane-slices of
+    the packed matrix itself: one 128-lane block = 2 heads' q (or k, v), so
+    the only HBM traffic besides the kernel's streaming reads is one N-pad of
+    the packed tensor. Numerics identical to ``flash_attention`` (fp32
+    scores/softmax, single-pass exact softmax)."""
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // num_heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(head_dim))
+
+    heads_per_blk = 128 // head_dim  # 2 at d=64
+    n_pad = _round_up(n, 128)
+    if blk_q is None:
+        from monocular_depth_estimation_trt_tpu.ops.pallas.autotune import (
+            best_block,
+        )
+
+        blk_q = best_block(num_heads, n_pad, head_dim, qkv.dtype,
+                           kind="packed")
+        if blk_q < 0:  # batch-gridded winner never applies to this layout
+            blk_q = n_pad
+    blk_q = min(blk_q, n_pad)
+    while n_pad % blk_q or blk_q % 8:
+        blk_q //= 2
+    blk_q = max(blk_q, 8)
+
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    h2 = num_heads // heads_per_blk  # lane-blocks per q/k/v region
+    cost = pl.CostEstimate(
+        flops=4 * num_heads * n_pad * n_pad * head_dim,
+        bytes_accessed=qkv.size * qkv.dtype.itemsize
+        + b * n_pad * hd * qkv.dtype.itemsize,
+        transcendentals=num_heads * n_pad * n_pad,
+    )
+
+    def call(qkv2):  # (n_pad, 3*hd) for one batch item
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_packed, scale=scale, valid_len=n,
+                              head_dim=head_dim),
+            grid=(h2, n_pad // blk_q),
+            in_specs=[
+                pl.BlockSpec((blk_q, 128), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 128), lambda i, j: (0, h2 + i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_pad, 128), lambda i, j: (0, 2 * h2 + i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk_q, 128), lambda i, j: (j, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, hd), qkv.dtype),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(qkv2, qkv2, qkv2)
+
+    out = jax.vmap(call)(qkv)
+    return out[:, :n]
+
+
 def attention_reference(q, k, v, *, scale: Optional[float] = None):
     """Plain XLA attention (oracle for tests; fallback on CPU backend)."""
     d = q.shape[-1]

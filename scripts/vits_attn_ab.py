@@ -35,7 +35,7 @@ def main() -> None:
     enable_persistent_cache()
     set_allow_random_weights(True)
 
-    for impl in ("xla", "flash"):
+    for impl in ("xla", "flash", "packed"):
         pipe = build_pipeline("depth_anything_v2", encoder="vits",
                               attn_impl=impl)
         eng = pipe.engine_for((518, 518))

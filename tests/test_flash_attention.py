@@ -116,3 +116,92 @@ def test_head_chunk_long_sequence_guard():
     assert head_chunk(16, 5504, 64) == 16
     # degenerate: one head bigger than the budget still returns 1
     assert head_chunk(7, 65536, 128) == 1
+
+
+# ---------- packed-qkv layout kernel ----------
+
+
+def _packed_ref(qkv, h):
+    """Reference from the same packed (B, N, 3*H*d) tensor."""
+    b, n, thd = qkv.shape
+    d = thd // 3 // h
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def t(x):
+        return jnp.swapaxes(x.reshape(b, n, h, d), 1, 2)
+
+    ref = attention_reference(t(q), t(k), t(v))
+    return jnp.swapaxes(ref, 1, 2).reshape(b, n, h * d)
+
+
+@pytest.mark.parametrize("b,n,h", [(1, 1370, 16), (2, 1370, 6), (1, 1024, 2)])
+def test_packed_matches_reference(rng, b, n, h):
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    d = 64
+    qkv = jnp.asarray(
+        rng.standard_normal((b, n, 3 * h * d)).astype(np.float32), jnp.bfloat16
+    )
+    out = flash_attention_packed(qkv, h, interpret=True)
+    ref = _packed_ref(qkv, h)
+    assert out.shape == (b, n, h * d)
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
+    assert err < 2e-2  # bf16 mantissa
+
+
+def test_packed_blk_q_smaller_than_n(rng):
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    qkv = jnp.asarray(
+        rng.standard_normal((1, 1370, 3 * 4 * 64)).astype(np.float32),
+        jnp.bfloat16,
+    )
+    out = flash_attention_packed(qkv, 4, blk_q=352, interpret=True)
+    ref = _packed_ref(qkv, 4)
+    err = np.max(np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)))
+    assert err < 2e-2
+
+
+def test_packed_supported_gates():
+    from monocular_depth_estimation_trt_tpu.ops.pallas.flash_attention import (
+        packed_supported,
+    )
+
+    assert packed_supported(16, 64, 1370)          # ViT-L @518
+    assert packed_supported(6, 64, 1370)           # ViT-S @518
+    assert not packed_supported(16, 64, 1370, rope=True)   # UniDepth/DINOv3
+    assert not packed_supported(7, 64, 1370)       # odd heads
+    assert not packed_supported(16, 128, 1370)     # head_dim != 64
+    assert not packed_supported(16, 64, 577)       # Depth Pro windows (short N)
+    assert not packed_supported(16, 64, 11008)     # VGGT S=8 (long N: chunked path)
+
+
+def test_attention_module_packed_impl_matches_xla(rng):
+    """Attention(attn_impl='packed') == Attention(attn_impl='xla') — the
+    packed routing slots between the same qkv and proj matmuls."""
+    from monocular_depth_estimation_trt_tpu.models.vit import Attention
+
+    x = jnp.asarray(
+        rng.standard_normal((1, 1370, 128)).astype(np.float32), jnp.bfloat16
+    )
+    packed = Attention(128, 2, attn_impl="packed")
+    xla = Attention(128, 2, attn_impl="xla")
+    p = packed.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(packed.apply(p, x), np.float32)
+    b = np.asarray(xla.apply(p, x), np.float32)
+    assert np.max(np.abs(a - b)) < 2e-2
+
+
+def test_packed_autotune_keyspace():
+    from monocular_depth_estimation_trt_tpu.ops.pallas.autotune import best_block
+
+    # packed whole-N while the fp32 score tile fits VMEM...
+    assert best_block(16, 1408, 64, jnp.bfloat16, kind="packed") == 1408
+    # ...halved q-blocks beyond it (N=2816: 2816^2*4B = 32 MB > 10 MB)
+    blk = best_block(16, 2816, 64, jnp.bfloat16, kind="packed")
+    assert blk < 2816 and 2816 % blk == 0
+    assert blk * 2816 * 4 <= 10 * 1024 * 1024
