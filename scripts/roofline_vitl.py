@@ -101,6 +101,9 @@ def main() -> None:
         "--stages",
         default=("full,encoder,head,block_scan,attn_scan,mlp_scan,"
                  "dense_chain,attn_kernel"),
+        help=("also available: head_proj (taps->levels->rn convs), "
+              "head_fuse (4 refinenets), head_out (output convs + 14x "
+              "bilinear) — the DPT head decomposition"),
     )
     args = ap.parse_args()
     want = set(args.stages.split(","))
@@ -212,6 +215,89 @@ def main() -> None:
             return head.apply(p, fs, (ph, pw))
 
         measure("head", head_fn, (head_params, feats), args.iters, rows)
+
+    if {"head_proj", "head_fuse", "head_out"} & want:
+        # The full head as one module, split at its two natural seams by
+        # running sub-apply closures against one shared param tree.
+        import flax.linen as nn
+
+        from monocular_depth_estimation_trt_tpu.models.dpt import (
+            DPTHead,
+            FeatureFusionBlock,
+            PixelShuffleUpsample,
+            _bilinear_ac,
+        )
+
+        head = DPTHead(in_channels=cfg.dim, features=head_cfg["features"],
+                       out_channels=head_cfg["out_channels"],
+                       final_act="relu", dtype=dt)
+        head_params = {"params": params["depth_head"]}
+        feats = [(tokens[:, 1:], tokens[:, 0]) for _ in range(4)]
+        fts = head_cfg["features"]
+        oc = list(head_cfg["out_channels"])
+
+        class HeadProj(nn.Module):
+            @nn.compact
+            def __call__(self, features):
+                levels = []
+                for i, feat in enumerate(features):
+                    t = feat[0]
+                    b, n, d = t.shape
+                    x = t.reshape(b, ph, pw, d).astype(dt)
+                    x = nn.Conv(oc[i], (1, 1), dtype=dt,
+                                name=f"project_{i}")(x)
+                    if i == 0:
+                        x = PixelShuffleUpsample(oc[0], 4, dt,
+                                                 name="resize_0")(x)
+                    elif i == 1:
+                        x = PixelShuffleUpsample(oc[1], 2, dt,
+                                                 name="resize_1")(x)
+                    elif i == 3:
+                        x = nn.Conv(oc[3], (3, 3), strides=(2, 2), padding=1,
+                                    dtype=dt, name="resize_3")(x)
+                    levels.append(nn.Conv(fts, (3, 3), padding=1,
+                                          use_bias=False, dtype=dt,
+                                          name=f"layer{i + 1}_rn")(x))
+                return levels
+
+        class HeadFuse(nn.Module):
+            @nn.compact
+            def __call__(self, rn):
+                l1, l2, l3, l4 = rn
+                p4 = FeatureFusionBlock(fts, dt, name="refinenet4")(
+                    l4, size=l3.shape[1:3])
+                p3 = FeatureFusionBlock(fts, dt, name="refinenet3")(
+                    p4, l3, size=l2.shape[1:3])
+                p2 = FeatureFusionBlock(fts, dt, name="refinenet2")(
+                    p3, l2, size=l1.shape[1:3])
+                return FeatureFusionBlock(fts, dt, name="refinenet1")(p2, l1)
+
+        class HeadOut(nn.Module):
+            @nn.compact
+            def __call__(self, path1):
+                out = nn.Conv(fts // 2, (3, 3), padding=1, dtype=dt,
+                              name="output_conv1")(path1)
+                out = _bilinear_ac(out, (ph * 14, pw * 14))
+                out = nn.Conv(32, (3, 3), padding=1, dtype=dt,
+                              name="output_conv2_0")(out)
+                out = nn.relu(out)
+                out = nn.Conv(1, (1, 1), dtype=dt, name="output_conv2_2")(out)
+                return nn.relu(out)[..., 0].astype(jnp.float32)
+
+        # shared params: each submodule's names match DPTHead's flat layout
+        levels0 = jax.jit(lambda p, f: HeadProj().apply(p, f))(
+            head_params, feats)
+        path1_0 = jax.jit(lambda p, r: HeadFuse().apply(p, r))(
+            head_params, levels0)
+        if "head_proj" in want:
+            measure("head_proj", lambda p, f: HeadProj().apply(p, f),
+                    (head_params, feats), args.iters, rows)
+        if "head_fuse" in want:
+            measure("head_fuse", lambda p, r: HeadFuse().apply(p, r),
+                    (head_params, levels0), args.iters, rows)
+        if "head_out" in want:
+            measure("head_out", lambda p, x: HeadOut().apply(p, x),
+                    (head_params, path1_0), args.iters, rows)
 
     scan_len = cfg.depth
 
