@@ -630,18 +630,12 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         model="metric3d_v2", encoder=encoder, input_hw=canvas,
         precision=precision, metric=True,
     )
-    # int8 = w8a8 encoder serving (ops/quant.py). Measured NEGATIVE for this
-    # family (21.33 vs 22.61 bf16 FPS, docs/QUANT.md): the RAFT-style
-    # iterative head's small matmuls pay more in quant/rescale epilogues than
-    # the int8 MXU saves. Kept available (accuracy gates pass) but warned.
+    # int8 = w8a8 encoder serving (ops/quant.py). Round-3 measured 0.94x
+    # (the RAFT-style iterative head's small matmuls paid more in
+    # quant/rescale epilogues than the int8 MXU saved); round 4's K>N fused
+    # Pallas routing + packed attention flipped it to 1.07x (28.53 vs 26.75
+    # FPS on vitl@616x1064, BENCH_ALL / docs/QUANT.md).
     quant = precision == "int8"
-    if quant:
-        from monocular_depth_estimation_trt_tpu.utils.logging import log
-
-        log("metric3d_v2: int8 measured SLOWER than bf16 on TPU v5e "
-            "(0.94x on vitl@616x1064, docs/QUANT.md; other encoders "
-            "unmeasured) — use bf16 unless you need the int8 memory "
-            "footprint")
     model = Metric3DV2(
         encoder=encoder, iters=iters,
         dtype=compute_dtype("bf16" if quant else precision),

@@ -76,6 +76,30 @@ def refresh_fidelity(rows: list) -> int:
     return changed
 
 
+def refresh_int8_ratios(rows: list) -> int:
+    """Recompute each ``<tag>_int8`` row's ``bf16_fps``/``speedup_vs_bf16``
+    from the CURRENT ``<tag>`` row. bench_all's isolate mode measures each
+    row in its own subprocess, so an int8 row measured in the same window as
+    a fresh bf16 row still joins the PREVIOUS BENCH_ALL value; after a merge
+    both rows are present and the ratio must reference the merged bf16.
+    Returns the number of rows updated."""
+    by_tag = {r.get("model"): r for r in rows}
+    changed = 0
+    for row in rows:
+        tag = row.get("model", "")
+        if not tag.endswith("_int8") or row.get("error") or not row.get("fps"):
+            continue
+        base = by_tag.get(tag[: -len("_int8")])
+        if not base or base.get("error") or not base.get("fps"):
+            continue
+        bf16 = base["fps"]
+        if row.get("bf16_fps") != bf16:
+            row["bf16_fps"] = bf16
+            row["speedup_vs_bf16"] = round(row["fps"] / bf16, 2)
+            changed += 1
+    return changed
+
+
 def merge(partial_path: str, all_path: str = "BENCH_ALL.json") -> int:
     with open(partial_path) as f:
         partial = json.load(f)["results"]
@@ -98,12 +122,14 @@ def merge(partial_path: str, all_path: str = "BENCH_ALL.json") -> int:
             replaced += 1
 
     restamped = refresh_fidelity(full["results"])
+    ratios = refresh_int8_ratios(full["results"])
     full["timestamp"] = time.time()
     with open(all_path, "w") as f:
         json.dump(full, f, indent=2)
     print(f"[merge_bench] {all_path}: {replaced} replaced, {appended} "
           f"appended, {skipped} error rows skipped, "
-          f"{restamped} fidelity tags refreshed")
+          f"{restamped} fidelity tags refreshed, "
+          f"{ratios} int8 ratios recomputed")
     return 0
 
 

@@ -137,3 +137,40 @@ def test_pct_of_roof_from_fake_engine():
         _engines = {"k": NoCa()}
 
     assert mod._pct_of_roof(NoPipe(), 2e-3) == (None, None)
+
+
+def test_merge_recomputes_int8_ratios(tmp_path):
+    """isolate-mode int8 rows join a STALE bf16_fps (the subprocess can't
+    see same-run rows); the merge must recompute the ratio from the merged
+    bf16 row."""
+    full = {"timestamp": 1.0, "results": [
+        {"model": "m_vitl", "fps": 65.0},
+        {"model": "m_vitl_int8", "fps": 72.0, "bf16_fps": 60.0,
+         "speedup_vs_bf16": 1.2},
+    ]}
+    partial = {"results": [
+        {"model": "m_vitl", "fps": 75.0},
+        {"model": "m_vitl_int8", "fps": 82.0, "bf16_fps": 65.0,
+         "speedup_vs_bf16": 1.26},
+    ]}
+    fp, pp = tmp_path / "all.json", tmp_path / "part.json"
+    fp.write_text(json.dumps(full))
+    pp.write_text(json.dumps(partial))
+    mb = _load("merge_bench")
+    assert mb.merge(str(pp), str(fp)) == 0
+    rows = {r["model"]: r for r in json.loads(fp.read_text())["results"]}
+    assert rows["m_vitl_int8"]["bf16_fps"] == 75.0
+    assert rows["m_vitl_int8"]["speedup_vs_bf16"] == round(82.0 / 75.0, 2)
+
+
+def test_refresh_int8_ratios_skips_error_and_missing_base():
+    mb = _load("merge_bench")
+    rows = [
+        {"model": "x_int8", "fps": 10.0, "bf16_fps": 9.0},      # no base row
+        {"model": "y", "error": "crash"},
+        {"model": "y_int8", "fps": 5.0, "bf16_fps": 4.0},        # base errored
+        {"model": "z", "fps": 8.0},
+        {"model": "z_int8", "error": "crash", "bf16_fps": 1.0},  # self errored
+    ]
+    assert mb.refresh_int8_ratios(rows) == 0
+    assert rows[0]["bf16_fps"] == 9.0 and rows[2]["bf16_fps"] == 4.0
