@@ -71,16 +71,22 @@ def convex_upsample(x: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     express the 9-tap convex combination as 9 shifted elementwise
     multiply-adds per channel: the softmax runs on 9 lane-aligned slices
     of the (B,h,w,9*k*k) conv output (no 5-D reshape), and the final
-    pixel-shuffle is one (k,k) transpose per channel."""
+    pixel-shuffle is one (k,k) transpose per channel.
+
+    The per-channel unroll emits 9*C slice/mul/add ops — tuned for the
+    small C of depth heads (C <= 8: depth+normal+conf = 5 here, 2 for
+    RAFT flow). Large C would blow up the HLO graph, so it asserts."""
     b, h, w, c = x.shape
+    assert c <= 8, f"convex_upsample channel unroll is tuned for C<=8, got C={c}"
     kk = k * k
     # softmax over the 9 taps, computed on (B,h,w,kk) slices: tap j for all
-    # k*k sub-pixels lives at lanes [j*kk, (j+1)*kk) of the mask conv output
-    taps = [mask[..., j * kk : (j + 1) * kk] for j in range(9)]
+    # k*k sub-pixels lives at lanes [j*kk, (j+1)*kk) of the mask conv output.
+    # Project convention: softmax statistics in fp32 (bf16 compute elsewhere).
+    taps = [mask[..., j * kk : (j + 1) * kk].astype(jnp.float32) for j in range(9)]
     mx = functools.reduce(jnp.maximum, taps)
     exps = [jnp.exp(t - mx) for t in taps]
-    den = functools.reduce(jnp.add, exps)
-    weights = [e / den for e in exps]  # 9 x (B, h, w, kk)
+    inv_den = 1.0 / functools.reduce(jnp.add, exps)
+    weights = [(e * inv_den).astype(x.dtype) for e in exps]  # 9 x (B, h, w, kk)
 
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     shifts = [(dy, dx) for dy in range(3) for dx in range(3)]

@@ -17,11 +17,28 @@ _FORMAT = "%(message)s"
 _CONFIGURED = False
 
 
+class _CurrentStdout:
+    """File-like proxy that always writes to the *current* ``sys.stdout``.
+
+    ``logging.StreamHandler(sys.stdout)`` binds the stdout object that exists
+    at first configure; any later redirection (pytest capsys, an app capturing
+    ``[MDET]`` output, ``contextlib.redirect_stdout``) would silently lose all
+    log lines. Delegating per-call keeps the handler pointed at whatever
+    stdout is live when the record is emitted.
+    """
+
+    def write(self, s: str) -> int:
+        return sys.stdout.write(s)
+
+    def flush(self) -> None:
+        sys.stdout.flush()
+
+
 def _configure() -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
-    handler = logging.StreamHandler(sys.stdout)
+    handler = logging.StreamHandler(_CurrentStdout())
     handler.setFormatter(logging.Formatter(_FORMAT))
     root = logging.getLogger("mdet")
     root.addHandler(handler)

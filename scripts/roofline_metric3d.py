@@ -34,7 +34,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from roofline_vitl import measure  # noqa: E402  (shared row helper)
+from roofline_vitl import (  # noqa: E402  (shared row helpers)
+    PEAK_HBM,
+    PEAK_TFLOPS,
+    measure,
+)
 
 
 def main() -> None:
@@ -111,13 +115,13 @@ def main() -> None:
         row = {
             "stage": "full", "measured_ms": round(t * 1e3, 3),
             "gflops": round(flops / 1e9, 1), "gbytes": round(byts / 1e9, 3),
-            "compute_roof_ms": round(flops / 197e12 * 1e3, 3),
-            "memory_roof_ms": round(byts / 819e9 * 1e3, 3),
-            "bound": "memory" if byts / 819e9 > flops / 197e12 else "compute",
+            "compute_roof_ms": round(flops / PEAK_TFLOPS * 1e3, 3),
+            "memory_roof_ms": round(byts / PEAK_HBM * 1e3, 3),
+            "bound": "memory" if byts / PEAK_HBM > flops / PEAK_TFLOPS else "compute",
             "achieved_tfs": round(flops / t / 1e12, 1),
             "achieved_gbps": round(byts / t / 1e9, 1),
             "pct_of_roof": round(
-                100.0 * max(flops / 197e12, byts / 819e9) / t, 1),
+                100.0 * max(flops / PEAK_TFLOPS, byts / PEAK_HBM) / t, 1),
         }
         print(json.dumps(row), flush=True)
         rows.append(row)
