@@ -108,6 +108,39 @@ QUANT_SUITE = [
 PEAK_TFLOPS = 197e12
 PEAK_HBM = 819e9
 
+_DISPATCH_FLOOR_S: float | None = None
+
+
+def _dispatch_floor_s() -> float:
+    """Measured per-iteration dispatch/launch floor of this run's backend.
+
+    The flops/bytes roofline is a pure-execution bound; every benchmarked
+    iteration also pays a program-launch + pipelined-dispatch cost that the
+    cost analysis cannot see. Round 4's bound omitted it, so a small program
+    (DA-V2 vits, ~3.5 ms) read 108.7% of its own "roof" — a ceiling that can
+    be exceeded certifies nothing. Measure the floor once per run as the
+    avg iteration time of a trivially small jitted program under the SAME
+    pipelined benchmark protocol, and add it to every program's bound.
+    """
+    global _DISPATCH_FLOOR_S
+    if _DISPATCH_FLOOR_S is None:
+        import jax
+
+        from monocular_depth_estimation_trt_tpu.config import BenchmarkConfig
+        from monocular_depth_estimation_trt_tpu.runtime.benchmark import (
+            benchmark,
+        )
+
+        f = jax.jit(lambda x: x + 1.0)
+        x = jax.device_put(np.zeros((8, 128), np.float32))
+        f(x)  # compile outside the timed loop
+        rep = benchmark(f, (x,),
+                        config=BenchmarkConfig(warmup=5, iterations=50),
+                        name="dispatch_floor")
+        _DISPATCH_FLOOR_S = rep.avg_seconds
+        print(f"[bench_all] dispatch floor: {rep.avg_seconds * 1e3:.3f} ms")
+    return _DISPATCH_FLOOR_S
+
 
 def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
     """Roofline %-of-bound for the engine a benchmark just ran.
@@ -115,9 +148,12 @@ def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
     Makes "fast" falsifiable for the 19 staged families that have no
     published TRT baseline (round-3 verdict item 5): the bound is the XLA
     cost-analysis roofline max(flops/peak, bytes/HBM) of the COMPILED
-    program — authoritative for that program, so pct_of_roof says how close
-    the measured rate is to the chip's own ceiling for this exact graph.
-    Returns (pct, bound_ms) or (None, None) when cost analysis is missing.
+    program plus the measured per-iteration dispatch floor (see
+    :func:`_dispatch_floor_s`; provenance documented in docs/PERF.md) —
+    so pct_of_roof says how close the measured rate is to the chip's own
+    ceiling for this exact graph, and measured <= bound by construction
+    of its terms. Returns (pct, bound_ms) or (None, None) when cost
+    analysis is missing.
     """
     try:
         eng = next(iter(pipe._engines.values()))
@@ -128,8 +164,9 @@ def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
         byts = float(ca.get("bytes accessed", 0.0) or 0.0)
         if flops <= 0 and byts <= 0:
             return None, None
-        # bound and avg_seconds are both whole-program (all `frames` frames)
-        bound_s = max(flops / PEAK_TFLOPS, byts / PEAK_HBM)
+        # bound and avg_seconds are both whole-program (all `frames` frames);
+        # the dispatch floor is paid once per program iteration
+        bound_s = max(flops / PEAK_TFLOPS, byts / PEAK_HBM) + _dispatch_floor_s()
         return (round(100.0 * bound_s / avg_seconds, 1),
                 round(bound_s / max(frames, 1) * 1e3, 3))
     except Exception:
@@ -379,11 +416,22 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row))
 
+    from monocular_depth_estimation_trt_tpu.registry import (
+        INT8_MEMORY_BOUND_ENCODERS,
+    )
+
     for name, kw, in_hw in QUANT_SUITE:
         tag = (name + ("_" + kw["encoder"] if kw.get("encoder") else "")
                + "_int8")
         if subset and name not in subset and tag not in subset:
             continue
+        # Memory-bound small encoders auto-route int8 -> bf16 at build
+        # (registry.resolve_int8_precision, round-4 verdict item 7); force
+        # int8 here so the row keeps MEASURING the regression the guard
+        # acts on, and record the default routing in the row.
+        routed = kw.get("encoder") in INT8_MEMORY_BOUND_ENCODERS
+        if routed:
+            os.environ["MDET_FORCE_INT8"] = "1"
         try:
             t0 = time.time()
             pipe = build_pipeline(name, **kw)
@@ -412,8 +460,18 @@ def main() -> None:
                 "speedup_vs_bf16": round(rep.fps / bf16, 2) if bf16 else None,
                 "build_s": round(time.time() - t0 - rep.total_seconds, 1),
             }
+            pct, bound_ms = _pct_of_roof(pipe, rep.avg_seconds)
+            row["pct_of_roof"] = pct
+            row["roofline_bound_ms"] = bound_ms
+            if routed:
+                row["note"] = ("default build auto-routes this config "
+                               "int8->bf16 (measured regression); forced "
+                               "int8 for this row via MDET_FORCE_INT8=1")
         except Exception as e:
             row = {"model": tag, "error": repr(e)[:200]}
+        finally:
+            if routed:
+                os.environ.pop("MDET_FORCE_INT8", None)
         results.append(row)
         print(json.dumps(row))
 

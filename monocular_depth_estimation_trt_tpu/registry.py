@@ -68,6 +68,41 @@ INT8_FAMILIES = frozenset({
     "map_anything",
 })
 
+# Encoders below the measured M-starvation / memory-bound threshold where
+# int8 w8a8 is a measured REGRESSION at batch-1 (docs/QUANT.md round-4
+# table: DA-V2 vits @518² = 0.90x its bf16 twin — int8 adds quantize work
+# without cutting the activation bytes that bound a small encoder; the
+# int8 MXU's 2x only pays once the matmuls are d_model-bound, vitb+).
+INT8_MEMORY_BOUND_ENCODERS = frozenset({"vits", "vits16", "small"})
+
+
+def resolve_int8_precision(model_name: str, encoder: str,
+                           precision: str) -> str:
+    """Build-time int8 routing guard (round-4 verdict item 7).
+
+    For encoders in :data:`INT8_MEMORY_BOUND_ENCODERS`, ``int8`` is
+    auto-routed to ``bf16`` with a loud warning — the measured physics
+    (docs/QUANT.md) says int8 cannot pay there at batch 1. Set
+    ``MDET_FORCE_INT8=1`` to override (e.g. for batched offline serving
+    where M-starvation lifts, or to re-measure the regression).
+    """
+    import os as _os
+
+    from monocular_depth_estimation_trt_tpu.utils.logging import log
+
+    if precision != "int8" or encoder not in INT8_MEMORY_BOUND_ENCODERS:
+        return precision
+    if _os.environ.get("MDET_FORCE_INT8", "") == "1":
+        log(f"{model_name} {encoder}: int8 on a memory-bound encoder is a "
+            "measured regression at batch-1 (docs/QUANT.md: vits int8 = "
+            "0.90x bf16); forced by MDET_FORCE_INT8=1", tag="WARN")
+        return precision
+    log(f"{model_name} {encoder}: auto-routing int8 -> bf16 — int8 is a "
+        "measured regression for memory-bound small encoders at batch-1 "
+        "(docs/QUANT.md M-starvation ceiling). Set MDET_FORCE_INT8=1 to "
+        "override.", tag="WARN")
+    return "bf16"
+
 
 def list_models():
     return sorted(_REGISTRY)
@@ -254,6 +289,7 @@ def _build_da_family(
         # (reference Depth_Anything_V2/infer_metric.py:54-58)
         max_depth = 20.0 if dataset == "hypersim" else 80.0
 
+    precision = resolve_int8_precision(model_name, encoder, precision)
     spec = ModelSpec(
         model=model_name,
         encoder=encoder,
@@ -384,6 +420,7 @@ def depth_anything_v3(
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize, resize_hw
 
+    precision = resolve_int8_precision("depth_anything_v3", encoder, precision)
     spec = ModelSpec(
         model="da3metric",
         encoder=encoder,
@@ -524,6 +561,7 @@ def _build_geometric(
     from monocular_depth_estimation_trt_tpu.ops.resize import resize
     from monocular_depth_estimation_trt_tpu.weights.convert import convert_geometric
 
+    precision = resolve_int8_precision(model_name, encoder, precision)
     spec = ModelSpec(
         model=model_name,
         encoder=encoder,
@@ -626,6 +664,7 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
     )
 
     canvas = (616, 1064)
+    precision = resolve_int8_precision("metric3d_v2", encoder, precision)
     spec = ModelSpec(
         model="metric3d_v2", encoder=encoder, input_hw=canvas,
         precision=precision, metric=True,
@@ -696,6 +735,7 @@ def _build_moge(
     )
     from monocular_depth_estimation_trt_tpu.ops.resize import resize
 
+    precision = resolve_int8_precision(model_name, encoder, precision)
     spec = ModelSpec(
         model=model_name,
         encoder=encoder,

@@ -92,6 +92,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--encoder", default="vitl")
     ap.add_argument("--attn", default="auto")
+    ap.add_argument("--tokens", type=int, default=0,
+                    help="override the token count for the scan/kernel "
+                    "stages (block_scan/attn_scan/mlp_scan/dense_chain/"
+                    "attn_kernel) — e.g. 3349 probes the metric3d "
+                    "616x1064 grid; full/encoder/head stay at 518²")
     ap.add_argument("--batch", type=int, default=1,
                     help="batch the encoder/head/scan stages (b1-vs-bN "
                     "localizes where `mdet batch` loses its roofline win); "
@@ -142,7 +147,7 @@ def main() -> None:
     taps = INTERMEDIATE_LAYER_IDX[enc]
     hw = 518
     ph = pw = hw // cfg.patch_size  # 37
-    n_tokens = ph * pw + 1          # 1370
+    n_tokens = args.tokens or (ph * pw + 1)  # 1370 @518²
     dt = jnp.bfloat16
 
     pipe = build_pipeline("depth_anything_v2", encoder=enc,

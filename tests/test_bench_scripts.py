@@ -121,12 +121,20 @@ def test_pct_of_roof_from_fake_engine():
     class FakePipe:
         _engines = {"k": FakeEng()}
 
+    # pin the measured dispatch floor (normally measured on-device once per
+    # run; round-4 verdict item 4 — the bound must include it so measured
+    # <= bound always)
+    mod._DISPATCH_FLOOR_S = 0.0
     # measured 2 ms against a 1 ms bound -> 50% of roof
     pct, bound_ms = mod._pct_of_roof(FakePipe(), 2e-3)
     assert bound_ms == 1.0 and pct == 50.0
     # batched program: bound_ms reported per frame, pct unchanged
     pct_b, bound_b = mod._pct_of_roof(FakePipe(), 2e-3, frames=4)
     assert pct_b == 50.0 and bound_b == 0.25
+    # a 0.5 ms dispatch floor raises the bound: 1.5 ms / 2 ms = 75%
+    mod._DISPATCH_FLOOR_S = 0.5e-3
+    pct_f, bound_f = mod._pct_of_roof(FakePipe(), 2e-3)
+    assert bound_f == 1.5 and pct_f == 75.0
     # engines without cost analysis degrade to (None, None)
 
     class NoCa:

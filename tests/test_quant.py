@@ -367,6 +367,10 @@ def test_registry_int8_pipeline(monkeypatch, rng):
         return real(encoder="tiny", **kw)
 
     monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    # vits-class encoders auto-route int8 -> bf16 (measured regression,
+    # registry.resolve_int8_precision); force int8 — this test exercises
+    # the quant machinery itself
+    monkeypatch.setenv("MDET_FORCE_INT8", "1")
 
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     # explicit live params: the store's benchmark-random init can die
@@ -405,6 +409,7 @@ def test_int8_bundle_cold_start_cache(monkeypatch, rng, tmp_path):
         return real(encoder="tiny", **kw)
 
     monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    monkeypatch.setenv("MDET_FORCE_INT8", "1")  # bypass the vits routing guard
     # isolate the cache dir for this test
     monkeypatch.setenv("MDET_CACHE_DIR", str(tmp_path))
 
@@ -499,3 +504,42 @@ def test_qat_mode_fake_quant_with_gradients(rng):
     g = jax.grad(loss)(params)
     gk = np.asarray(g["kernel"])
     assert np.isfinite(gk).all() and np.abs(gk).max() > 0  # STE flows
+
+
+def test_int8_routing_guard(monkeypatch):
+    """Memory-bound small encoders auto-route int8 -> bf16 at build unless
+    MDET_FORCE_INT8=1 (round-4 verdict item 7: vits int8 measured 0.90x its
+    bf16 twin, docs/QUANT.md M-starvation ceiling)."""
+    from monocular_depth_estimation_trt_tpu.registry import (
+        resolve_int8_precision,
+    )
+
+    monkeypatch.delenv("MDET_FORCE_INT8", raising=False)
+    assert resolve_int8_precision("depth_anything_v2", "vits", "int8") == "bf16"
+    assert resolve_int8_precision("moge2", "vits", "int8") == "bf16"
+    assert resolve_int8_precision("dinov3", "vits16", "int8") == "bf16"
+    # non-int8 and big encoders pass through untouched
+    assert resolve_int8_precision("depth_anything_v2", "vits", "bf16") == "bf16"
+    assert resolve_int8_precision("depth_anything_v2", "vitl", "int8") == "int8"
+    monkeypatch.setenv("MDET_FORCE_INT8", "1")
+    assert resolve_int8_precision("depth_anything_v2", "vits", "int8") == "int8"
+
+
+def test_int8_routing_guard_in_builder(monkeypatch, capsys):
+    """build_pipeline(precision="int8") on a vits config warns and builds
+    the bf16 spec."""
+    from monocular_depth_estimation_trt_tpu.registry import build_pipeline
+    from monocular_depth_estimation_trt_tpu.weights.store import (
+        set_allow_random_weights,
+    )
+
+    monkeypatch.delenv("MDET_FORCE_INT8", raising=False)
+    set_allow_random_weights(True)
+    try:
+        pipe = build_pipeline("depth_anything_v2", encoder="vits",
+                              precision="int8", input_size=56)
+    finally:
+        set_allow_random_weights(False)
+    assert pipe.spec.precision == "bf16"
+    out = capsys.readouterr().out
+    assert "auto-routing int8 -> bf16" in out
