@@ -1028,4 +1028,19 @@ def load_torch_state_dict(path: str) -> Mapping:
         sd = sd["state_dict"]
     if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
         sd = sd["model"]
+    return strip_wrapper_prefix(sd)
+
+
+def strip_wrapper_prefix(sd: Mapping) -> Mapping:
+    """Strip a uniform training-wrapper prefix off every checkpoint key.
+
+    Upstream checkpoints saved from ``torch.nn.DataParallel`` carry
+    ``module.`` on every key (the reference unwraps exactly this,
+    ``RAFT/infer.py:62-65``); ``torch.compile`` saves add ``_orig_mod.``.
+    Only strips when EVERY key carries the prefix — a mixed layout is a
+    real mismatch the audit should surface, not paper over."""
+    for prefix in ("module.", "_orig_mod."):
+        keys = list(sd)
+        if keys and all(k.startswith(prefix) for k in keys):
+            sd = _StripPrefixView(sd, prefix)
     return sd

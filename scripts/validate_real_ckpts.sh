@@ -14,19 +14,33 @@
 # script continues; the exit code reflects only steps that could actually
 # run. Use `--dry-run` to print the plan without touching the network.
 #
-# Usage: scripts/validate_real_ckpts.sh [--dry-run] [family ...]
+# Usage: scripts/validate_real_ckpts.sh [--dry-run] [--offline] [family ...]
+#
+# --offline: first synthesize production-scale mirror dumps from the torch
+# mirrors (scripts/gen_offline_mirrors.py) into the hf: resolver's local
+# mirror, then run every step verbatim against them — the full
+# resolve/verify/audit/convert/run path with zero network (round-4 verdict
+# item 6). Parity-anchor runs execute on CPU (random mirror weights carry
+# no numerics; the load/run path is what's being exercised).
 set -u
 cd "$(dirname "$0")/.."
 
 MDET="python -m monocular_depth_estimation_trt_tpu"
 DRY=0
+OFFLINE=0
 ONLY=()
 for a in "$@"; do
   case "$a" in
     --dry-run) DRY=1 ;;
+    --offline) OFFLINE=1 ;;
     *) ONLY+=("$a") ;;
   esac
 done
+
+if [ "$OFFLINE" = 1 ] && [ "$DRY" = 0 ]; then
+  echo "=== offline mode: generating mirror dumps (gen_offline_mirrors.py)"
+  python scripts/gen_offline_mirrors.py ${ONLY:+--only "$(IFS=,; echo "${ONLY[*]}")"} || exit 2
+fi
 
 PASS=0; FAIL=0; SKIP=0
 declare -a FAILED_STEPS=()
@@ -62,7 +76,9 @@ step() { # step <family> <model> <encoder> <hf-uri> [anchor "max/min"]
   PASS=$((PASS+1))
   if [ -n "$anchor" ]; then
     echo "    reference parity anchor (max/min): $anchor"
-    $MDET run "$model" "${encflag[@]}" --checkpoint "$uri" \
+    local devflag=()
+    [ "$OFFLINE" = 1 ] && devflag=(--device cpu)
+    $MDET run "$model" "${encflag[@]}" "${devflag[@]}" --checkpoint "$uri" \
       --image data/example.jpg --out results/validate | grep "max :" || true
   fi
 }
