@@ -88,6 +88,15 @@ VIDEO_SUITE = [
     ("raft", {}),
 ]
 
+# SLAM recipe end-to-end over the committed video fixture: real DA disparity
+# + RAFT flow through the framework's own engines (not the synthetic BA
+# problem the `megasam` SUITE row times). Emits the BA quality gates
+# (rms_px, focal) and a CVD temporal-consistency metric alongside wall-clock
+# FPS. Reference role: later/MegaSaM/README.md recipe staging.
+SLAM_E2E_SUITE = [
+    ("megasam", {}),
+]
+
 
 # Int8 w8a8 static-calibration serving rows (ops/quant.py; the reference's
 # TRT engines are fp16-only — no INT8 calibrator exists in the reference).
@@ -235,12 +244,15 @@ def main() -> None:
         ] + [
             f"{name}_video" for name, _ in VIDEO_SUITE
         ] + [
+            f"{name}_e2e" for name, _ in SLAM_E2E_SUITE
+        ] + [
             name + ("_" + kw["encoder"] if kw.get("encoder") else "")
             + "_int8"
             for name, kw, _ in QUANT_SUITE
         ]
         names = ([s[0] for s in SUITE] + [s[0] for s in BATCHED_SUITE]
                  + [s[0] for s in VIEWS_SUITE] + [s[0] for s in VIDEO_SUITE]
+                 + [s[0] for s in SLAM_E2E_SUITE]
                  + [s[0] for s in QUANT_SUITE])
         for name, tag in zip(names, tags):
             if subset and name not in subset and tag not in subset:
@@ -406,6 +418,67 @@ def main() -> None:
                 "fps": round(n_pairs / wall, 2),
                 "avg_ms": round(wall / n_pairs * 1e3, 2),
                 "note": "end-to-end video: host decode + flow + MP4 encode",
+                "fidelity": get_fidelity(name),
+                "baseline_trt_fps": None,
+                "speedup_vs_trt": None,
+                "build_s": round(build_s, 1),
+            }
+        except Exception as e:
+            row = {"model": tag, "error": repr(e)[:200]}
+        results.append(row)
+        print(json.dumps(row))
+
+    for name, kw in SLAM_E2E_SUITE:
+        tag = f"{name}_e2e"
+        if subset and name not in subset and tag not in subset:
+            continue
+        try:
+            import tempfile
+
+            import cv2
+
+            from monocular_depth_estimation_trt_tpu.apps.streaming import (
+                extract_frames_from_video,
+            )
+
+            t0 = time.time()
+            pipe = build_pipeline(name, **kw)
+            fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "data", "example_video.mp4")
+            with tempfile.TemporaryDirectory() as td:
+                frames_dir = os.path.join(td, "frames")
+                extract_frames_from_video(fixture, frames_dir)
+                frames = [
+                    cv2.cvtColor(cv2.imread(os.path.join(frames_dir, f)),
+                                 cv2.COLOR_BGR2RGB)
+                    for f in sorted(os.listdir(frames_dir))
+                ]
+            # warm pass compiles the DA/RAFT engines + the BA solver
+            pipe.run(frames[:4])
+            build_s = time.time() - t0
+            t1 = time.time()
+            res = pipe.run(frames)
+            cvd = pipe.consistent_video_depth(frames, res)
+            wall = time.time() - t1
+            # temporal consistency of the CVD output: median over adjacent
+            # frame pairs of the mean |Δdisparity|, normalized by the median
+            # disparity magnitude (scale-free; lower = more consistent)
+            stack = np.stack(cvd)
+            denom = float(np.median(np.abs(stack))) or 1.0
+            cvd_mad = float(np.median(
+                [np.mean(np.abs(stack[i + 1] - stack[i]))
+                 for i in range(len(stack) - 1)])) / denom
+            row = {
+                "model": tag,
+                "frames": len(frames),
+                "fps": round(len(frames) / wall, 2),
+                "avg_ms": round(wall / len(frames) * 1e3, 2),
+                "note": ("end-to-end SLAM recipe: host decode + DA "
+                         "disparity + RAFT flow + LM-BA + CVD"),
+                "rms_px": round(float(res.rms_px), 3),
+                "focal_px": round(float(res.focal), 1),
+                "keyframes": len(res.keyframe_indices),
+                "cvd_temporal_mad": round(cvd_mad, 4),
                 "fidelity": get_fidelity(name),
                 "baseline_trt_fps": None,
                 "speedup_vs_trt": None,

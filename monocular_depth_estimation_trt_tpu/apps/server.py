@@ -86,7 +86,17 @@ class DepthServer:
 
     def __init__(self, pipeline, input_hw: Optional[Tuple[int, int]] = None,
                  max_queue: int = 32, timeout_s: float = 30.0,
-                 max_batch: int = 1, batch_window_ms: float = 2.0):
+                 max_batch: int = 1, batch_window_ms: float = 2.0,
+                 chip_side: bool = False):
+        # ``chip_side``: MEASUREMENT mode (scripts/load_harness.py
+        # --chip-side; round-4 verdict item 9). The batching/queue/worker
+        # logic runs unchanged, but each group launches on a device-resident
+        # synthetic frame batch (uploaded once at warmup) and resolves with
+        # a 1-element probe readback instead of the bulk fetch — isolating
+        # the batcher + chip from the dev tunnel's ~45 MB/s link. Clients
+        # get ``{"probe": ...}`` results, not depth maps.
+        self._chip_side = bool(chip_side)
+        self._synth_dev: Dict[Tuple[str, int], Any] = {}
         if isinstance(pipeline, dict):
             if not pipeline:
                 raise ValueError("need at least one pipeline to serve")
@@ -208,6 +218,18 @@ class DepthServer:
                 pipe.batch_call(frames, viz=True)
                 self._warm.update({(name, b, True), (name, b, False)})
                 b *= 2
+            if self._chip_side:
+                # one device-resident synthetic frame batch per bucket —
+                # groups launch on these instead of stacked request frames
+                import jax
+
+                rng = np.random.default_rng(0)
+                b = 1
+                while b <= cap:
+                    self._synth_dev[(name, b)] = jax.device_put(
+                        rng.integers(0, 255, (b, h, w, 3), dtype=np.uint8)
+                    )
+                    b *= 2
             log(f"server warmup: engine ready "
                 f"({pipe.spec.artifact_name()} @ {h}x{w}"
                 + (f", max_batch={cap}" if cap > 1 else "") + ")")
@@ -241,7 +263,17 @@ class DepthServer:
         dev_out = self._dev_out[name]
         t0 = time.time()
         try:
-            if len(jobs) == 1:
+            if self._chip_side:
+                # measurement mode: launch on the pre-uploaded device batch
+                # (no per-request H2D; see __init__)
+                bucket = _ceil_pow2(len(jobs))
+                dev = self._synth_dev[(name, bucket)]
+                viz = any(j.viz for j in jobs)
+                if bucket == 1:
+                    out = pipe(dev[0], viz=viz, device_out=True)
+                else:
+                    out = pipe.batch_call(dev, viz=viz, device_out=True)
+            elif len(jobs) == 1:
                 out = (pipe(jobs[0].frame, viz=jobs[0].viz, device_out=True)
                        if dev_out else pipe(jobs[0].frame, viz=jobs[0].viz))
             else:
@@ -268,10 +300,19 @@ class DepthServer:
 
         name, jobs, out, t0 = pending
         try:
-            host = tree_get_chunked(out)
-            if len(jobs) == 1:
-                jobs[0].result = host
+            if self._chip_side:
+                # 1-element probe: forces a real device sync (the bench
+                # protocol's readback convention) without the bulk D2H
+                import jax
+
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                probe = np.asarray(leaf.reshape(-1)[:1])
+                for job in jobs:
+                    job.result = {"probe": probe}
+            elif len(jobs) == 1:
+                jobs[0].result = tree_get_chunked(out)
             else:
+                host = tree_get_chunked(out)
                 for i, job in enumerate(jobs):
                     job.result = {k: np.asarray(v)[i] for k, v in host.items()}
         except Exception as e:  # surface as 500, keep serving

@@ -148,7 +148,12 @@ class DepthPipeline:
 
         h, w = image_u8.shape[:2]
         eng = self.engine_for((h, w), viz)
-        out = eng(self.params, device_put_chunked(np.asarray(image_u8)))
+        # already-device-resident inputs pass straight through (the chunked
+        # put would otherwise round-trip them to host; apps/server.py
+        # chip-side measurement mode and device-pipelined callers rely on it)
+        xin = (image_u8 if isinstance(image_u8, jax.Array)
+               else device_put_chunked(np.asarray(image_u8)))
+        out = eng(self.params, xin)
         if device_out:
             return out
         from monocular_depth_estimation_trt_tpu.runtime.transfer import (
@@ -198,6 +203,15 @@ class DepthPipeline:
 
         b, h, w = frames.shape[:3]
         eng = self.batch_engine_for((h, w), b, with_viz=viz)
+        if isinstance(frames, jax.Array):  # device-resident batch: no put
+            out = eng(self.params, frames)
+            if device_out:
+                return out
+            from monocular_depth_estimation_trt_tpu.runtime.transfer import (
+                tree_get_chunked,
+            )
+
+            return tree_get_chunked(out)
         x = np.asarray(frames)
         mesh = getattr(self, "mesh", None)
         ndata = (mesh.shape.get("data", 1)

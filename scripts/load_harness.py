@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 def run_load(pipes, *, concurrency: int, max_batch: int, duration_s: float,
              input_hw=(518, 518), viz: bool = False,
-             model_mix=None, max_queue: int = 64) -> dict:
+             model_mix=None, max_queue: int = 64,
+             chip_side: bool = False) -> dict:
     """Closed-loop load: ``concurrency`` threads, each submit→wait→repeat.
 
     ``pipes``: pipeline or {name: pipeline} (DepthServer's contract).
@@ -46,7 +47,7 @@ def run_load(pipes, *, concurrency: int, max_batch: int, duration_s: float,
     from monocular_depth_estimation_trt_tpu.apps.server import DepthServer
 
     srv = DepthServer(pipes, max_batch=max_batch, max_queue=max_queue,
-                      batch_window_ms=2.0)
+                      batch_window_ms=2.0, chip_side=chip_side)
     srv.warmup()
     srv.start()
 
@@ -124,6 +125,10 @@ def main() -> None:
     ap.add_argument("--mixed", action="store_true",
                     help="co-serve a second model (metric3d_v2 vitl) and "
                     "split clients across both")
+    ap.add_argument("--chip-side", action="store_true", dest="chip_side",
+                    help="device-resident synthetic frames + 1-element "
+                    "probe readback: isolates the batcher + chip from the "
+                    "dev tunnel's ~45 MB/s link (round-4 verdict item 9)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -153,7 +158,10 @@ def main() -> None:
         for conc in [int(s) for s in args.concurrency.split(",")]:
             row = run_load(pipes, concurrency=conc, max_batch=mb,
                            duration_s=args.duration,
-                           input_hw=tuple(pipe.spec.input_hw), model_mix=mix)
+                           input_hw=tuple(pipe.spec.input_hw), model_mix=mix,
+                           chip_side=args.chip_side)
+            if args.chip_side:
+                row["chip_side"] = True
             if mb == 1:
                 base_by_conc[conc] = row["throughput_fps"]
             elif base_by_conc.get(conc):

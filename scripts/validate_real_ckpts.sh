@@ -78,7 +78,9 @@ step() { # step <family> <model> <encoder> <hf-uri> [anchor "max/min"]
     echo "    reference parity anchor (max/min): $anchor"
     local devflag=()
     [ "$OFFLINE" = 1 ] && devflag=(--device cpu)
-    $MDET run "$model" "${encflag[@]}" "${devflag[@]}" --checkpoint "$uri" \
+    # --device is a TOP-LEVEL flag: after the subcommand argparse would
+    # prefix-match it onto the run parser's --device-mesh
+    $MDET "${devflag[@]}" run "$model" "${encflag[@]}" --checkpoint "$uri" \
       --image data/example.jpg --out results/validate | grep "max :" || true
   fi
 }
