@@ -103,7 +103,16 @@ def convex_upsample(x: jax.Array, mask: jax.Array, k: int) -> jax.Array:
 
 
 class ConvGRU(nn.Module):
-    """3x3 convolutional GRU (the upstream update block's recurrent cell)."""
+    """3x3 convolutional GRU (the upstream update block's recurrent cell).
+
+    TPU layout: the z and r gates read the SAME input, so they run as ONE
+    conv with ``2*hidden`` outputs and a split — identical math to
+    upstream's two convs (output channels of a conv are independent; the
+    converter concatenates the torch ``convz``/``convr`` kernels along the
+    output axis, the :func:`weights.convert._sep_gru` pattern RAFT/WAFT
+    already use), but one N=256 MXU matmul instead of two N=128 ones in
+    the 4x-unrolled refine loop. Gates keep fp32 statistics (project
+    convention)."""
 
     hidden: int
     dtype: Any = jnp.bfloat16
@@ -111,14 +120,10 @@ class ConvGRU(nn.Module):
     @nn.compact
     def __call__(self, h: jax.Array, x: jax.Array) -> jax.Array:
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(
-            nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
-                    name="convz")(hx).astype(jnp.float32)
-        ).astype(h.dtype)
-        r = jax.nn.sigmoid(
-            nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
-                    name="convr")(hx).astype(jnp.float32)
-        ).astype(h.dtype)
+        zr = nn.Conv(2 * self.hidden, (3, 3), padding=1, dtype=self.dtype,
+                     name="convzr")(hx).astype(jnp.float32)
+        z = jax.nn.sigmoid(zr[..., : self.hidden]).astype(h.dtype)
+        r = jax.nn.sigmoid(zr[..., self.hidden :]).astype(h.dtype)
         q = jnp.tanh(
             nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
                     name="convq")(

@@ -202,7 +202,7 @@ def _int8_bundle_name(spec) -> str:
 
 def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
                 make_sample, input_size, calib_images=None,
-                allowed_unconsumed=None):
+                allowed_unconsumed=None, layout_version=1):
     """Shared param resolution for builders with an int8 path: resolve the
     full-precision tree (cache -> checkpoint -> random; int8 shares the bf16
     artifact — only the compiled engine differs), then, when quantizing,
@@ -243,6 +243,7 @@ def _params_for(spec, model, example, *, quant, params, checkpoint, converter,
             params_name, params_model, example,
             torch_ckpt=checkpoint, converter=converter,
             allowed_unconsumed=allowed_unconsumed,
+            layout_version=layout_version,
         )
     if quant:
         params = _int8_bundle(
@@ -704,6 +705,9 @@ def metric3d_v2(encoder: str = "vitl", precision: str = "bf16",
         make_sample=lambda img: preprocess_keep_ratio_pad(img, canvas)[0],
         input_size=canvas,
         calib_images=calib_images,
+        # layout_version=2: ConvGRU z/r kernels fused (round 5) — old cached
+        # param trees have the unfused convz/convr structure
+        layout_version=2,
     )
     return DepthPipeline(spec, forward, params, viz="metric")
 

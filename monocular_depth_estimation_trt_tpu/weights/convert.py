@@ -581,11 +581,16 @@ def convert_metric3d_v2(state_dict: Mapping, encoder: str = "vitl",
         "neck": neck,
         "context_conv": conv2d(sd, "context_conv"),
         "init_head": conv2d(sd, "init_head"),
-        "gru": {
-            "convz": conv2d(sd, "gru.convz"),
-            "convr": conv2d(sd, "gru.convr"),
+        # z|r fused into one conv (models/metric3d_v2.py::ConvGRU — the
+        # _sep_gru layout RAFT/WAFT use); identical math, one MXU matmul
+        "gru": (lambda z, r: {
+            "convzr": {
+                "kernel": np.concatenate([z["kernel"], r["kernel"]],
+                                         axis=-1),
+                "bias": np.concatenate([z["bias"], r["bias"]]),
+            },
             "convq": conv2d(sd, "gru.convq"),
-        },
+        })(conv2d(sd, "gru.convz"), conv2d(sd, "gru.convr")),
         "pred_encoder": conv2d(sd, "pred_encoder"),
         "delta_head": conv2d(sd, "delta_head"),
         "mask_head": conv2d(sd, "mask_head"),
