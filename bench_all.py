@@ -173,9 +173,29 @@ def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
         byts = float(ca.get("bytes accessed", 0.0) or 0.0)
         if flops <= 0 and byts <= 0:
             return None, None
+        # The memory term must be a PROVABLE lower bound on HBM traffic.
+        # XLA's "bytes accessed" over-counts on fusion-heavy programs (vggt
+        # reads an apparent 935 GB/s on an 819 GB/s chip — impossible), so a
+        # bound built from it can exceed the measured rate. The certified
+        # floor is what the program cannot avoid touching at least once:
+        # arguments (incl. params) + outputs − aliased pairs, from the
+        # compiled executable's memory analysis. Take min() with the cost-
+        # analysis bytes — a lower bound may only shrink.
+        min_bytes = byts
+        try:
+            ma = eng.memory_analysis()
+        except AttributeError:
+            ma = None
+        if ma is not None:
+            arg = float(getattr(ma, "argument_size_in_bytes", 0) or 0)
+            out = float(getattr(ma, "output_size_in_bytes", 0) or 0)
+            alias = float(getattr(ma, "alias_size_in_bytes", 0) or 0)
+            if arg + out > 0:
+                min_bytes = min(min_bytes, arg + out - alias)
         # bound and avg_seconds are both whole-program (all `frames` frames);
         # the dispatch floor is paid once per program iteration
-        bound_s = max(flops / PEAK_TFLOPS, byts / PEAK_HBM) + _dispatch_floor_s()
+        bound_s = max(flops / PEAK_TFLOPS,
+                      min_bytes / PEAK_HBM) + _dispatch_floor_s()
         return (round(100.0 * bound_s / avg_seconds, 1),
                 round(bound_s / max(frames, 1) * 1e3, 3))
     except Exception:

@@ -146,6 +146,27 @@ def test_pct_of_roof_from_fake_engine():
 
     assert mod._pct_of_roof(NoPipe(), 2e-3) == (None, None)
 
+    # round-5: XLA "bytes accessed" can over-count (vggt: apparent 935 GB/s
+    # on an 819 GB/s chip -> bound > measured -> pct > 100). When the
+    # executable's memory_analysis is available, the memory term must drop
+    # to the provable floor: arguments + outputs - aliases.
+    class MemStats:
+        argument_size_in_bytes = 81.9e6
+        output_size_in_bytes = 0.0
+        alias_size_in_bytes = 0.0
+
+    class OverEng(FakeEng):
+        def memory_analysis(self):
+            return MemStats()
+
+    class OverPipe:
+        _engines = {"k": OverEng()}
+
+    mod._DISPATCH_FLOOR_S = 0.0
+    # naive bytes say 1 ms; provable floor says 0.1 ms; flops say ~0.005 ms
+    pct_o, bound_o = mod._pct_of_roof(OverPipe(), 2e-3)
+    assert bound_o == 0.1 and pct_o == 5.0
+
 
 def test_merge_recomputes_int8_ratios(tmp_path):
     """isolate-mode int8 rows join a STALE bf16_fps (the subprocess can't
