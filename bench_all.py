@@ -166,36 +166,45 @@ def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
     """
     try:
         eng = next(iter(pipe._engines.values()))
-        ca = eng.cost_analysis() or {}
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0) or 0.0)
-        byts = float(ca.get("bytes accessed", 0.0) or 0.0)
+        # split pipelines (moge2/metric_anything `_SplitEngine`) run TWO
+        # compiled programs back to back; the bound sums both programs'
+        # terms and pays the dispatch floor once per program
+        parts = [eng.e1, eng.e2] if hasattr(eng, "e1") else [eng]
+        flops = byts = min_bytes = 0.0
+        for part in parts:
+            ca = part.cost_analysis() or {}
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            p_flops = float(ca.get("flops", 0.0) or 0.0)
+            p_byts = float(ca.get("bytes accessed", 0.0) or 0.0)
+            # The memory term must be a PROVABLE lower bound on HBM traffic.
+            # XLA's "bytes accessed" over-counts on fusion-heavy programs
+            # (vggt reads an apparent 935 GB/s on an 819 GB/s chip —
+            # impossible), so a bound built from it can exceed the measured
+            # rate. The certified floor is what the program cannot avoid
+            # touching at least once: arguments (incl. params) + outputs −
+            # aliased pairs, from the compiled executable's memory
+            # analysis. Take min() with the cost-analysis bytes — a lower
+            # bound may only shrink.
+            p_min = p_byts
+            try:
+                ma = part.memory_analysis()
+            except AttributeError:
+                ma = None
+            if ma is not None:
+                arg = float(getattr(ma, "argument_size_in_bytes", 0) or 0)
+                out = float(getattr(ma, "output_size_in_bytes", 0) or 0)
+                alias = float(getattr(ma, "alias_size_in_bytes", 0) or 0)
+                if arg + out > 0:
+                    p_min = min(p_min, arg + out - alias)
+            flops += p_flops
+            byts += p_byts
+            min_bytes += p_min
         if flops <= 0 and byts <= 0:
             return None, None
-        # The memory term must be a PROVABLE lower bound on HBM traffic.
-        # XLA's "bytes accessed" over-counts on fusion-heavy programs (vggt
-        # reads an apparent 935 GB/s on an 819 GB/s chip — impossible), so a
-        # bound built from it can exceed the measured rate. The certified
-        # floor is what the program cannot avoid touching at least once:
-        # arguments (incl. params) + outputs − aliased pairs, from the
-        # compiled executable's memory analysis. Take min() with the cost-
-        # analysis bytes — a lower bound may only shrink.
-        min_bytes = byts
-        try:
-            ma = eng.memory_analysis()
-        except AttributeError:
-            ma = None
-        if ma is not None:
-            arg = float(getattr(ma, "argument_size_in_bytes", 0) or 0)
-            out = float(getattr(ma, "output_size_in_bytes", 0) or 0)
-            alias = float(getattr(ma, "alias_size_in_bytes", 0) or 0)
-            if arg + out > 0:
-                min_bytes = min(min_bytes, arg + out - alias)
-        # bound and avg_seconds are both whole-program (all `frames` frames);
-        # the dispatch floor is paid once per program iteration
-        bound_s = max(flops / PEAK_TFLOPS,
-                      min_bytes / PEAK_HBM) + _dispatch_floor_s()
+        # bound and avg_seconds are both whole-program (all `frames` frames)
+        bound_s = (max(flops / PEAK_TFLOPS, min_bytes / PEAK_HBM)
+                   + _dispatch_floor_s() * len(parts))
         return (round(100.0 * bound_s / avg_seconds, 1),
                 round(bound_s / max(frames, 1) * 1e3, 3))
     except Exception:

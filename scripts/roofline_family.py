@@ -58,15 +58,21 @@ def _full_row(pipe_name, build_kw, in_hw, iters, rows, views=0):
     else:
         eng = pipe.engine_for(in_hw)
         eng.compile()
+        # split pipelines (moge2/metric_anything) expose (e1, e2); the
+        # first program's example args carry the params + frame shape
+        first = eng.e1 if hasattr(eng, "e1") else eng
         frames = jax.device_put(rng.integers(
-            0, 255, eng._example_args[1].shape, dtype=np.uint8))
-        rep = benchmark(lambda f: eng(eng._example_args[0], f), (frames,),
+            0, 255, first._example_args[1].shape, dtype=np.uint8))
+        rep = benchmark(lambda f: eng(first._example_args[0], f), (frames,),
                         config=BenchmarkConfig(warmup=3, iterations=iters),
                         name="full")
-    ca = eng.cost_analysis() or {}
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0) or 0)
-    byts = float(ca.get("bytes accessed", 0) or 0)
+    parts = [eng.e1, eng.e2] if hasattr(eng, "e1") else [eng]
+    flops = byts = 0.0
+    for part in parts:
+        ca = part.cost_analysis() or {}
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops += float(ca.get("flops", 0) or 0)
+        byts += float(ca.get("bytes accessed", 0) or 0)
     t = rep.avg_seconds
     row = {
         "stage": "full", "measured_ms": round(t * 1e3, 3),

@@ -167,6 +167,20 @@ def test_pct_of_roof_from_fake_engine():
     pct_o, bound_o = mod._pct_of_roof(OverPipe(), 2e-3)
     assert bound_o == 0.1 and pct_o == 5.0
 
+    # split pipelines (moge2/metric_anything): the bound sums both
+    # programs' terms and pays the dispatch floor once per program
+    class SplitEng:
+        def __init__(self):
+            self.e1, self.e2 = FakeEng(), FakeEng()
+
+    class SplitPipe:
+        _engines = {"k": SplitEng()}
+
+    mod._DISPATCH_FLOOR_S = 0.25e-3
+    # two programs x 1 ms memory bound + 2 x 0.25 ms floor = 2.5 ms
+    pct_s, bound_s = mod._pct_of_roof(SplitPipe(), 5e-3)
+    assert bound_s == 2.5 and pct_s == 50.0
+
 
 def test_merge_recomputes_int8_ratios(tmp_path):
     """isolate-mode int8 rows join a STALE bf16_fps (the subprocess can't
