@@ -165,11 +165,20 @@ def _pct_of_roof(pipe, avg_seconds: float, frames: int = 1):
     analysis is missing.
     """
     try:
-        eng = next(iter(pipe._engines.values()))
-        # split pipelines (moge2/metric_anything `_SplitEngine`) run TWO
-        # compiled programs back to back; the bound sums both programs'
-        # terms and pays the dispatch floor once per program
-        parts = [eng.e1, eng.e2] if hasattr(eng, "e1") else [eng]
+        engines = getattr(pipe, "_engines", None)
+        if engines:
+            eng = next(iter(engines.values()))
+            # split pipelines (moge2/metric_anything `_SplitEngine`) run TWO
+            # compiled programs back to back; the bound sums both programs'
+            # terms and pays the dispatch floor once per program
+            parts = [eng.e1, eng.e2] if hasattr(eng, "e1") else [eng]
+        else:
+            # SLAM recipes benchmark an AOT-compiled step directly and stash
+            # it (slam/recipes.py); compiled executables expose the same
+            # cost/memory analysis surface as Engine
+            parts = list(getattr(pipe, "_bench_compiled", []) or [])
+            if not parts:
+                return None, None
         flops = byts = min_bytes = 0.0
         for part in parts:
             ca = part.cost_analysis() or {}

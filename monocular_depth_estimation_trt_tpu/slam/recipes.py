@@ -238,9 +238,14 @@ class _BARecipe:
             out_state, info = solve(pr, st, focal)
             return info["rms_px"]
 
-        _ = step(prob, state0)  # compile
+        # AOT-compile and stash the executable so bench_all's roofline bound
+        # can read cost/memory analysis (recipes have no Engine registry the
+        # way DepthPipeline._engines does)
+        compiled = jax.jit(step).lower(prob, state0).compile()
+        self._bench_compiled = [compiled]
         return benchmark(
-            step, (prob, state0), config=config, name=self.spec.artifact_name()
+            compiled, (prob, state0), config=config,
+            name=self.spec.artifact_name(),
         )
 
     # make `mdet run <recipe>` fail with guidance, not an AttributeError
@@ -483,8 +488,10 @@ class WildGSSLAMPipeline(_BARecipe):
             g2, u2, o2, loss, _ = step(g, u, o, rgb, depth, pose, focal)
             return loss
 
-        _ = one(gmap, unc_params, opt_state)  # compile
+        # AOT-compile + stash for bench_all's roofline bound (see _BARecipe)
+        compiled = jax.jit(one).lower(gmap, unc_params, opt_state).compile()
+        self._bench_compiled = [compiled]
         return benchmark(
-            one, (gmap, unc_params, opt_state), config=config,
+            compiled, (gmap, unc_params, opt_state), config=config,
             name=self.spec.artifact_name(),
         )
