@@ -273,6 +273,10 @@ def test_int8_bundle_exports_and_roundtrips(tmp_path, monkeypatch):
         return real(encoder="tiny", **kw)
 
     monkeypatch.setattr(da_mod, "DepthAnythingV2", tiny)
+    # the memory-bound-encoder guard would route vits int8 -> bf16
+    # (registry.resolve_int8_precision); this test is about the bundle
+    # round-trip mechanics, so force the int8 build
+    monkeypatch.setenv("MDET_FORCE_INT8", "1")
     m = tiny(dtype=jnp.float32)
     params = m.init(jax.random.PRNGKey(2),
                     jnp.zeros((1, 56, 56, 3)))["params"]

@@ -530,16 +530,16 @@ def test_int8_routing_guard_in_builder(monkeypatch, capsys):
     the bf16 spec."""
     from monocular_depth_estimation_trt_tpu.registry import build_pipeline
     from monocular_depth_estimation_trt_tpu.weights.store import (
-        set_allow_random_weights,
+        allow_random_weights,
     )
 
     monkeypatch.delenv("MDET_FORCE_INT8", raising=False)
-    set_allow_random_weights(True)
-    try:
+    # the restoring context manager, NOT set_allow_random_weights(False) in a
+    # finally: — that would clobber the suite-wide True from conftest and make
+    # every later random-init test order-dependent (the round-4 wart class)
+    with allow_random_weights(True):
         pipe = build_pipeline("depth_anything_v2", encoder="vits",
                               precision="int8", input_size=56)
-    finally:
-        set_allow_random_weights(False)
     assert pipe.spec.precision == "bf16"
     out = capsys.readouterr().out
     assert "auto-routing int8 -> bf16" in out
